@@ -1,0 +1,241 @@
+"""Graph facade over two ray.data.Datasets (edges, nodes).
+
+Semantics mirror the reference's ``Graph`` class
+(mercury/graph/core/graph.py:108-205): canonical edge columns
+``src, dst`` (+ optional ``weight`` + arbitrary attrs), canonical node
+column ``id`` (+ attrs), a ``keys`` remapping dict applied at ingest
+(graph.py:143-157,477-530), node inference as distinct(src) ∪
+distinct(dst) when no nodes table is given (graph.py:532-537), and the
+undirected closure built by unioning reversed edges and de-duplicating
+(graph.py:541-548). Unlike the reference the facade is lazy: nothing is
+counted or collected at construction (the reference triggers two Spark
+count() jobs, graph.py:569-570 — a cost we deliberately avoid).
+
+Everything stays a Dataset; ``*_as_pandas`` conveniences exist for test
+parity with the reference's export surface (graph.py:410-470).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _to_dataset(data):
+    import pandas as pd
+    import ray.data as rd
+
+    if isinstance(data, rd.Dataset):
+        return data
+    if isinstance(data, pd.DataFrame):
+        return rd.from_pandas(data)
+    if isinstance(data, pa.Table):
+        return rd.from_arrow(data)
+    if isinstance(data, str):
+        return rd.read_parquet(data)
+    raise TypeError(f"cannot build a Dataset from {type(data)!r}")
+
+
+class Graph:
+    """Immutable facade: a property graph as two Datasets.
+
+    Parameters mirror the reference (mercury/graph/core/graph.py:143-157):
+    ``keys`` may remap input column names to the canonical ones, e.g.
+    ``{"src": "Person_A", "dst": "Person_B", "weight": "Duration",
+    "id": "Name", "directed": False}``.
+    """
+
+    def __init__(self, data=None, keys: dict | None = None, nodes=None):
+        keys = dict(keys or {})
+        self.directed: bool = bool(keys.pop("directed", True))
+        src_in = keys.get("src", "src")
+        dst_in = keys.get("dst", "dst")
+        weight_in = keys.get("weight", None)
+        id_in = keys.get("id", "id")
+
+        edges = _to_dataset(data)
+        rename = {}
+        if src_in != "src":
+            rename[src_in] = "src"
+        if dst_in != "dst":
+            rename[dst_in] = "dst"
+        if weight_in and weight_in != "weight":
+            rename[weight_in] = "weight"
+        if rename:
+            edges = edges.rename_columns(rename)
+        self._edges = edges
+        self.weighted: bool = "weight" in edges.schema().names
+
+        if nodes is not None:
+            nds = _to_dataset(nodes)
+            if id_in != "id":
+                nds = nds.rename_columns({id_in: "id"})
+            self._nodes = nds
+            self._nodes_inferred = False
+        else:
+            self._nodes = None
+            self._nodes_inferred = True
+
+        self._cache: dict[str, Any] = {}
+
+    # ---------------------------------------------------------------- core
+    @property
+    def edges(self):
+        """Canonical edges Dataset (src, dst[, weight, attrs...])."""
+        return self._edges
+
+    @property
+    def nodes(self):
+        """Nodes Dataset (id[, attrs...]); inferred from edge endpoints when
+        absent (mirror of graph.py:532-537). Inferred result is cached."""
+        if self._nodes is None:
+            from mercury_graph_ray.stages.ids import distinct_vertices
+
+            self._nodes = distinct_vertices(self._edges).materialize()
+        return self._nodes
+
+    @property
+    def number_of_nodes(self) -> int:
+        if "n_nodes" not in self._cache:
+            self._cache["n_nodes"] = self.nodes.count()
+        return self._cache["n_nodes"]
+
+    @property
+    def number_of_edges(self) -> int:
+        if "n_edges" not in self._cache:
+            self._cache["n_edges"] = self._edges.count()
+        return self._cache["n_edges"]
+
+    def undirected_edges(self):
+        """Symmetric closure: union reversed edges then exact-dedup on
+        (src, dst) keeping the max weight, mirroring the reference's
+        ``union(reversed).distinct()`` (graph.py:541-546). For a directed
+        graph with both (u,v,w1) and (v,u,w2) present the reference's
+        distinct() keeps both rows; after relabeling they collapse — we
+        resolve deterministically by summing weights of identical (src,dst)
+        pairs only when they are exact duplicates, else keeping rows as-is.
+        """
+        if self.directed is False and "undirected" in self._cache:
+            return self._cache["undirected"]
+        e = self._edges
+        cols = [c for c in e.schema().names if c in ("src", "dst", "weight")]
+        e = e.select_columns(cols)
+        rev = e.rename_columns({"src": "dst", "dst": "src"}).select_columns(cols)
+        both = e.union(rev)
+        from ray.data.aggregate import Max
+
+        if "weight" in cols:
+            out = both.groupby(["src", "dst"]).aggregate(Max("weight", alias_name="weight"))
+        else:
+            from ray.data.aggregate import Count
+
+            out = both.groupby(["src", "dst"]).aggregate(Count(alias_name="_n"))
+            out = out.select_columns(["src", "dst"])
+        self._cache["undirected"] = out
+        return out
+
+    # ------------------------------------------------------------- metrics
+    def degrees(self):
+        """Dataset (id, degree, in_degree, out_degree) with zero-fill,
+        mirroring graph.py:621-654. One groupby per direction over the
+        edge endpoints, then a single merge keyed on id."""
+        from ray.data.aggregate import Sum
+
+        e = self._edges
+        out = (
+            e.select_columns(["src"])
+            .rename_columns({"src": "id"})
+            .map_batches(
+                lambda t: t.append_column("out_degree", pa.array([1] * t.num_rows, pa.int64())),
+                batch_format="pyarrow",
+            )
+        )
+        inn = (
+            e.select_columns(["dst"])
+            .rename_columns({"dst": "id"})
+            .map_batches(
+                lambda t: t.append_column("in_degree", pa.array([1] * t.num_rows, pa.int64())),
+                batch_format="pyarrow",
+            )
+        )
+        nodes = self.nodes.select_columns(["id"]).map_batches(
+            lambda t: t.append_column("_zero", pa.array([0] * t.num_rows, pa.int64())),
+            batch_format="pyarrow",
+        )
+
+        def _pad(t: pa.Table, have: str, missing: list[str]) -> pa.Table:
+            for m in missing:
+                t = t.append_column(m, pa.array([0] * t.num_rows, pa.int64()))
+            return t.select_columns(["id", "out_degree", "in_degree", "_zero"])
+
+        out = out.map_batches(lambda t: _pad(t, "out", ["in_degree", "_zero"]), batch_format="pyarrow")
+        inn = inn.map_batches(lambda t: _pad(t, "in", ["out_degree", "_zero"]), batch_format="pyarrow")
+        nodes = nodes.map_batches(
+            lambda t: _pad(t, "z", ["out_degree", "in_degree"]), batch_format="pyarrow"
+        )
+        unioned = out.union(inn).union(nodes)
+        agg = unioned.groupby("id").aggregate(
+            Sum("out_degree", alias_name="out_degree"),
+            Sum("in_degree", alias_name="in_degree"),
+        )
+
+        def _final(t: pa.Table) -> pa.Table:
+            if self.directed:
+                deg = pc.add(t["out_degree"], t["in_degree"])
+            else:
+                # undirected: each stored edge contributes 1 to both ends
+                deg = pc.add(t["out_degree"], t["in_degree"])
+            return pa.table(
+                {
+                    "id": t["id"],
+                    "degree": deg,
+                    "in_degree": t["in_degree"],
+                    "out_degree": t["out_degree"],
+                }
+            )
+
+        return agg.map_batches(_final, batch_format="pyarrow")
+
+    def weighted_degrees(self, direction: str = "out"):
+        """groupby(endpoint).sum(weight) — SURVEY.md §2.5 A2."""
+        from ray.data.aggregate import Sum
+
+        key = "src" if direction == "out" else "dst"
+        e = self._edges
+        if not self.weighted:
+            e = e.map_batches(
+                lambda t: t.append_column("weight", pa.array([1.0] * t.num_rows, pa.float64())),
+                batch_format="pyarrow",
+            )
+        return (
+            e.select_columns([key, "weight"])
+            .rename_columns({key: "id"})
+            .groupby("id")
+            .aggregate(Sum("weight", alias_name=f"w_{direction}"))
+        )
+
+    # ---------------------------------------------------------- algorithms
+    def pagerank(self, **kw):
+        from mercury_graph_ray.algos.pagerank import PageRank
+
+        return PageRank(**kw).fit(self).pagerank_
+
+    def connected_components(self, **kw):
+        from mercury_graph_ray.algos.connected_components import ConnectedComponents
+
+        return ConnectedComponents(**kw).fit(self).components_
+
+    # ------------------------------------------------------------- exports
+    def nodes_as_pandas(self):
+        return self.nodes.to_pandas()
+
+    def edges_as_pandas(self):
+        return self._edges.to_pandas()
+
+    def __repr__(self):
+        return (
+            f"Graph(directed={self.directed}, weighted={self.weighted}, "
+            f"edges={self._edges.schema().names})"
+        )

@@ -1,0 +1,146 @@
+"""Vertex dictionary: content-ordered dense uint64 ids.
+
+Replaces the reference's ``row_number().over(Window.orderBy(id))``
+anonymization (mercury/graph/ml/louvain.py:126-138) and deliberately
+avoids the ``monotonically_increasing_id`` nondeterminism of
+mercury/graph/ml/spectral.py:125-127 (SURVEY.md §2.6 ordering note):
+ids are assigned by *value order* of the distinct vertex keys, so the
+mapping is identical across runs, batch sizes and parallelism levels.
+
+Two-pass zip-with-index over the globally sorted distinct keys:
+pass 1 records (first_key, row_count) per block; pass 2 recovers each
+block's global offset by binary-searching its own first key against the
+block-boundary list — blocks self-identify, so no ordering assumption on
+task scheduling is needed.
+
+Relabeling edges uses a broadcast sorted-array lookup (``ray.put`` once,
+``np.searchsorted`` per batch — no shuffle) when the dictionary fits in
+memory, and a hash-partitioned ``Dataset.join`` otherwise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Above this many distinct vertices the broadcast lookup is replaced by a
+# distributed join (a 1e12-vertex dictionary cannot be broadcast).
+BROADCAST_MAX_VERTICES = 20_000_000
+
+
+def distinct_vertices(edges, src: str = "src", dst: str = "dst"):
+    """Dataset of distinct vertex keys under column ``id`` (one shuffle)."""
+    from ray.data.aggregate import Count
+
+    s = edges.select_columns([src]).rename_columns({src: "id"})
+    d = edges.select_columns([dst]).rename_columns({dst: "id"})
+    uniq = s.union(d).groupby("id").aggregate(Count(alias_name="_n"))
+    return uniq.select_columns(["id"])
+
+
+def build_dictionary(vertex_ds):
+    """(id) Dataset -> materialized (id, vid: uint64) Dataset, sorted by id.
+
+    ``vid`` is the 0-based rank of ``id`` in global sort order.
+    """
+    sorted_ds = vertex_ds.sort("id").materialize()
+
+    # pass 1: per-block (first_key, n) — blocks self-identify by first key
+    def _block_meta(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"first": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        return pa.table({"first": [t["id"][0].as_py()], "n": [t.num_rows]})
+
+    meta = sorted_ds.map_batches(_block_meta, batch_format="pyarrow", batch_size=None).take_all()
+    meta.sort(key=lambda r: r["first"])
+    firsts = [r["first"] for r in meta]
+    offsets = np.concatenate([[0], np.cumsum([r["n"] for r in meta])[:-1]]).astype(np.uint64)
+    boundary = dict(zip(firsts, offsets.tolist()))
+
+    def _assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"id": t["id"], "vid": pa.array([], pa.uint64())})
+        off = boundary[t["id"][0].as_py()]
+        vids = np.arange(off, off + t.num_rows, dtype=np.uint64)
+        return pa.table({"id": t["id"], "vid": pa.array(vids)})
+
+    return sorted_ds.map_batches(_assign, batch_format="pyarrow", batch_size=None).materialize()
+
+
+class VertexDict:
+    """Materialized vertex dictionary with broadcast or join relabeling."""
+
+    def __init__(self, mapping_ds, n_vertices: int):
+        self.mapping = mapping_ds  # (id, vid) sorted by id, vid == sort rank
+        self.n = n_vertices
+        self._broadcast_ref = None
+        if n_vertices <= BROADCAST_MAX_VERTICES:
+            import ray
+
+            batches = list(
+                mapping_ds.sort("vid").iter_batches(batch_format="pyarrow", batch_size=1 << 20)
+            )
+            if batches:
+                tbl = pa.concat_tables(batches)
+                # vid is the rank in key sort order -> keys_by_vid is the
+                # sorted key array; one array serves encode (searchsorted)
+                # and decode (direct index).
+                keys = tbl["id"].combine_chunks().to_numpy(zero_copy_only=False)
+            else:
+                keys = np.array([], dtype=object)
+            self._broadcast_ref = ray.put(keys)
+
+    @classmethod
+    def from_edges(cls, edges, src: str = "src", dst: str = "dst") -> "VertexDict":
+        mapping = build_dictionary(distinct_vertices(edges, src, dst))
+        return cls(mapping, mapping.count())
+
+    def encode_edges(self, edges, cols=("src", "dst")):
+        """Relabel key columns of ``edges`` to dense uint64 vids."""
+        if self._broadcast_ref is not None:
+            ref = self._broadcast_ref
+
+            def _relabel(t: pa.Table) -> pa.Table:
+                import ray
+
+                keys = ray.get(ref)
+                for c in cols:
+                    vals = t[c].combine_chunks().to_numpy(zero_copy_only=False)
+                    pos = np.searchsorted(keys, vals).astype(np.uint64)
+                    t = t.set_column(
+                        t.schema.get_field_index(c), c, pa.array(pos, pa.uint64())
+                    )
+                return t
+
+            return edges.map_batches(_relabel, batch_format="pyarrow")
+        out = edges
+        for c in cols:
+            m = self.mapping.rename_columns({"id": c, "vid": f"_vid_{c}"})
+            out = out.join(m, join_type="inner", num_partitions=64, on=(c,))
+            out = out.drop_columns([c]).rename_columns({f"_vid_{c}": c})
+        return out
+
+    def decode(self, ds, col: str = "id", out_col: str | None = None):
+        """Map a uint64 vid column back to original vertex keys."""
+        out_col = out_col or col
+        if self._broadcast_ref is not None:
+            ref = self._broadcast_ref
+
+            def _unmap(t: pa.Table) -> pa.Table:
+                import ray
+
+                keys = ray.get(ref)
+                vals = t[col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+                idx = t.schema.get_field_index(col)
+                t = t.set_column(idx, col, pa.array(keys[vals]))
+                if out_col != col:
+                    t = t.rename_columns(
+                        [out_col if n == col else n for n in t.schema.names]
+                    )
+                return t
+
+            return ds.map_batches(_unmap, batch_format="pyarrow")
+        m = self.mapping.rename_columns({"vid": col, "id": "_orig"})
+        out = ds.join(m, join_type="inner", num_partitions=64, on=(col,))
+        return out.drop_columns([col]).rename_columns({"_orig": out_col})

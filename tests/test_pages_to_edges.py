@@ -1,0 +1,75 @@
+"""Pages -> edges pipeline determinism + vertex dictionary tests."""
+
+import numpy as np
+import pandas as pd
+
+from mercury_graph_ray.pipelines.pages_to_edges import pages_to_edges
+from mercury_graph_ray.sources.pages import synth_pages
+from mercury_graph_ray.stages.ids import VertexDict
+
+
+def _edge_df(n=64, seed=42):
+    return (
+        pages_to_edges(synth_pages(n, seed=seed))
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+
+
+def test_edges_deterministic_across_runs(ray_session):
+    a = _edge_df()
+    b = _edge_df()
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.weight >= 1).all()
+    assert a.duplicated(["src", "dst"]).sum() == 0
+
+
+def test_edges_oracle_python(ray_session):
+    """Independent driver-side oracle: extract links with the frozen
+    extractor directly and compare the (src,dst,weight) multiset."""
+    from collections import Counter
+
+    from mercury_graph_ray.functions.extract import extract_links, normalize_url
+
+    rows = synth_pages(64, seed=42).take_all()
+    c = Counter()
+    for r in rows:
+        src = normalize_url(r["url"])
+        for dst in extract_links(r["html"], r["url"]):
+            c[(src, dst)] += 1
+    got = _edge_df()
+    want = pd.DataFrame(
+        [(s, d, float(w)) for (s, d), w in sorted(c.items())],
+        columns=["src", "dst", "weight"],
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_vertex_dict_roundtrip(ray_session):
+    edges = pages_to_edges(synth_pages(64, seed=42))
+    vd = VertexDict.from_edges(edges)
+    enc = vd.encode_edges(edges).to_pandas()
+    assert enc.src.dtype == np.uint64 and enc.dst.dtype == np.uint64
+    assert enc.src.max() < vd.n and enc.dst.max() < vd.n
+    # content-ordered: vid order == lexicographic order of keys
+    mp = vd.mapping.to_pandas().sort_values("vid")
+    assert list(mp.id) == sorted(mp.id)
+    assert list(mp.vid) == list(range(vd.n))
+    # round-trip decode
+    import ray.data as rd
+
+    back = vd.decode(rd.from_pandas(mp[["vid"]].rename(columns={"vid": "id"}))).to_pandas()
+    assert list(back.id) == list(mp.id)
+
+
+def test_vertex_dict_stable_under_parallelism(ray_session):
+    edges = pages_to_edges(synth_pages(64, seed=42))
+    m1 = VertexDict.from_edges(edges).mapping.to_pandas().sort_values("id").reset_index(drop=True)
+    m2 = (
+        VertexDict.from_edges(edges.repartition(7))
+        .mapping.to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(m1, m2)
