@@ -4,13 +4,11 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
+CORRECTNESS_r{N}.json). Results may be a ``ray.data.Dataset``, a
 ``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in mercury_graph_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +18,173 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: build the
+    supplier→customer link graph and run converged PageRank on it."""
+    from mercury_graph_ray.pipelines import tpch
+
+    return tpch.pagerank_supplier_customer("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from mercury_graph_ray.pipelines import tpch
+    from mercury_graph_ray.pipelines import training_data as td
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operator surface (S1/S3, A, W, windows)
+        "q1_pricing_summary": tpch.q1_pricing_summary,
+        "top10_customers_by_revenue": tpch.top10_customers_by_revenue,
+        "events_hourly": tpch.events_hourly,
+        # link-graph construction + metrics (S3, M1/M2, A1/A2, D1/D2)
+        "supplier_customer_edges": lambda sf: tpch.supplier_customer_edges(sf)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True),
+        "graph_degrees": tpch.graph_degrees,
+        "weighted_out_degree": tpch.weighted_out_degree,
+        "node_inference": tpch.node_inference,
+        "undirected_closure": tpch.undirected_closure,
+        # graph algorithms (§2.9) — triangle total is SQL-checkable
+        "triangle_total": tpch.triangle_total,
+        "pagerank_supplier_customer": tpch.pagerank_supplier_customer,
+        "connected_components_supplier_customer": tpch.connected_components_supplier_customer,
+        "label_propagation_supplier_customer": tpch.label_propagation_supplier_customer,
+        # documents / training-data ops (text analysis, dedup, ANN)
+        "docs_token_stats": tpch.docs_token_stats,
+        "docs_exact_dedup": tpch.docs_exact_dedup,
+        "docs_lang_distribution": tpch.docs_lang_distribution,
+        "docs_quality": td.docs_quality,
+        "minhash_dedup_pairs": td.minhash_dedup_pairs,
+        "simhash_dedup_pairs": td.simhash_dedup_pairs,
+        "embedding_dup_pairs": td.embedding_dup_pairs,
+        "knn_top5_vec0": td.knn_top5_vec0,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query (column names aligned with the
+    Ray pipelines). Iterative graph algorithms are intentionally omitted
+    (non-SQL-expressible; parity is proven against networkx in tests/)."""
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2)                          AS sum_qty,
+                   round(sum(l_extendedprice), 2)                     AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+                   round(avg(l_discount), 4)                          AS avg_disc,
+                   count(*)                                           AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top10_customers_by_revenue": """
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY o_custkey
+            ORDER BY revenue DESC, o_custkey LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "supplier_customer_edges": """
+            SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst,
+                   CAST(count(*) AS DOUBLE) AS weight
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "graph_degrees": """
+            WITH e AS (
+                SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2
+            ),
+            ids AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            outd AS (SELECT src AS id, count(*) AS od FROM e GROUP BY 1),
+            ind  AS (SELECT dst AS id, count(*) AS nd FROM e GROUP BY 1)
+            SELECT ids.id,
+                   COALESCE(od, 0) + COALESCE(nd, 0) AS degree,
+                   COALESCE(nd, 0) AS in_degree,
+                   COALESCE(od, 0) AS out_degree
+            FROM ids LEFT JOIN outd USING (id) LEFT JOIN ind USING (id)
+            ORDER BY ids.id
+        """,
+        "weighted_out_degree": """
+            WITH e AS (
+                SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst,
+                       CAST(count(*) AS DOUBLE) AS weight
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2
+            )
+            SELECT src AS id, sum(weight) AS w_out FROM e GROUP BY 1 ORDER BY 1
+        """,
+        "node_inference": """
+            WITH e AS (
+                SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2
+            )
+            SELECT src AS id FROM e UNION SELECT dst FROM e ORDER BY 1
+        """,
+        "undirected_closure": """
+            WITH e AS (
+                SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst,
+                       CAST(count(*) AS DOUBLE) AS weight
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2
+            ),
+            u AS (
+                SELECT src, dst, weight FROM e
+                UNION ALL
+                SELECT dst AS src, src AS dst, weight FROM e
+            )
+            SELECT src, dst, max(weight) AS weight FROM u
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "triangle_total": """
+            WITH pairs AS (
+                SELECT a.l_partkey AS a, b.l_partkey AS b
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+            )
+            SELECT count(*) AS total_triangles
+            FROM pairs e1
+            JOIN pairs e2 ON e1.b = e2.a
+            JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "docs_token_stats": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents ORDER BY doc_id
+        """,
+        "docs_exact_dedup": """
+            SELECT min(doc_id) AS keeper, count(*) AS n_copies
+            FROM documents GROUP BY text ORDER BY keeper
+        """,
+        "docs_lang_distribution": """
+            SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "docs_quality": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+                   round(CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                         / greatest(length(text), 1), 6) AS alpha_ratio,
+                   round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                         / greatest(length(text), 1), 6) AS punct_ratio
+            FROM documents ORDER BY doc_id
+        """,
+        "knn_top5_vec0": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT vec_id,
+                       list_cosine_similarity(embedding, (SELECT qe FROM q)) AS sim
+                FROM embeddings WHERE vec_id <> 0
+            )
+            SELECT vec_id, round(sim, 4) AS cosine,
+                   CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+            FROM scored ORDER BY sim DESC, vec_id LIMIT 5
+        """,
+    }

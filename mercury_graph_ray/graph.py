@@ -30,7 +30,9 @@ def _to_dataset(data):
     if isinstance(data, rd.Dataset):
         return data
     if isinstance(data, pd.DataFrame):
-        return rd.from_pandas(data)
+        # Arrow blocks from the start: the engine is Arrow-native throughout
+        # (pandas blocks break zero-copy and some projection ops).
+        return rd.from_arrow(pa.Table.from_pandas(data, preserve_index=False))
     if isinstance(data, pa.Table):
         return rd.from_arrow(data)
     if isinstance(data, str):
@@ -226,6 +228,16 @@ class Graph:
         from mercury_graph_ray.algos.connected_components import ConnectedComponents
 
         return ConnectedComponents(**kw).fit(self).components_
+
+    def label_propagation(self, **kw):
+        from mercury_graph_ray.algos.label_propagation import LabelPropagation
+
+        return LabelPropagation(**kw).fit(self).labels_
+
+    def triangle_count(self, **kw):
+        from mercury_graph_ray.algos.triangles import TriangleCount
+
+        return TriangleCount(**kw).fit(self).triangles_
 
     # ------------------------------------------------------------- exports
     def nodes_as_pandas(self):

@@ -1,0 +1,291 @@
+"""Driver-contract query pipelines over the TPC-H-ish test tables.
+
+Each function takes ``sf_dir`` and returns a Dataset / pandas DataFrame;
+``__ray_entry__.queries()`` exposes them, and ``oracle_sql()`` carries the
+matching DuckDB SQL (column names aligned — the driver hash-compares).
+
+These exercise the engine's relational operator surface from SURVEY.md §2
+(S1/S3 readers+ingest, M-row maps/filters, J-joins, A-aggregations,
+W-sort/top-k, D-dedup) on non-graph inputs, plus the derived link graph
+(supplier→customer, part co-occurrence) that feeds the §2.9 algorithms.
+
+Scale notes: dimension sides (orders at sf≤1) are broadcast via
+``ray.put`` + ``np.searchsorted`` inside ``map_batches`` — no shuffle;
+fact-side scans prune columns at the parquet reader; every aggregate
+pre-combines per batch before its groupby where the key count is small.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_cols(df: pd.DataFrame, cols: dict[str, int]) -> pd.DataFrame:
+    for c, nd in cols.items():
+        df[c] = df[c].astype(float).round(nd)
+    return df
+
+
+# ----------------------------------------------------------- relational
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: wide groupby-aggregate with derived columns."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def _derive(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.append_column("disc_price", disc_price)
+
+    out = (
+        ds.map_batches(_derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+    df = out.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    return _round_cols(df, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2, "avg_disc": 4})
+
+
+def top10_customers_by_revenue(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    out = ds.groupby("o_custkey").aggregate(Sum("o_totalprice", alias_name="revenue"))
+    df = out.to_pandas()
+    df = _round_cols(df, {"revenue": 2})
+    return (
+        df.sort_values(["revenue", "o_custkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window counts: (hour, event_type, n, sum_value)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def _trunc(t: pa.Table) -> pa.Table:
+        return t.append_column("hour", pc.floor_temporal(t["ts"], unit="hour"))
+
+    out = (
+        ds.map_batches(_trunc, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    df = out.to_pandas().sort_values(["hour", "event_type"]).reset_index(drop=True)
+    return _round_cols(df, {"sum_value": 4})
+
+
+# ------------------------------------------------------------- the graph
+def supplier_customer_edges(sf_dir: str):
+    """Weighted edge table: supplier ships to customer (via order join).
+
+    The small side (orders: o_orderkey -> o_custkey) is broadcast once
+    with ``ray.put``; the lineitem scan never shuffles until the final
+    (src, dst) weight groupby."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
+    okeys = orders["o_orderkey"].to_numpy(np.int64)
+    ocust = orders["o_custkey"].to_numpy(np.int64)
+    order_sorted = np.argsort(okeys)
+    ref = ray.put((okeys[order_sorted], ocust[order_sorted]))
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+
+    def _join(t: pa.Table) -> pa.Table:
+        keys, cust = ray.get(ref)
+        lo = t["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, lo)
+        supp = t["l_suppkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        src = np.char.add("s", supp.astype("U20"))
+        dst = np.char.add("c", cust[pos].astype("U20"))
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = (
+        ds.map_batches(_join, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="weight"))
+    )
+    return edges.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("weight"), "weight", pc.cast(t["weight"], pa.float64())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def part_cooccurrence_edges(sf_dir: str):
+    """Canonical (a<b) part pairs co-occurring in an order — the
+    triangle-bearing graph. One groupby(order) + pair explode + dedup."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def _pairs(group: dict) -> dict:
+        ok = np.asarray(group["l_orderkey"], np.int64)
+        pk = np.asarray(group["l_partkey"], np.int64)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        starts = np.flatnonzero(np.concatenate([[True], ok[1:] != ok[:-1]]))
+        sizes = np.diff(np.concatenate([starts, [len(ok)]]))
+        pos = np.arange(len(ok)) - np.repeat(starts, sizes)
+        left_counts = np.repeat(sizes, sizes) - 1 - pos
+        total = int(left_counts.sum())
+        if total == 0:
+            e = np.array([], np.int64)
+            return {"a": e, "b": e}
+        left = np.repeat(pk, left_counts)
+        run_starts = np.cumsum(left_counts) - left_counts
+        offset_within = np.arange(total) - np.repeat(run_starts, left_counts)
+        right = pk[np.repeat(np.arange(len(pk)) + 1, left_counts) + offset_within]
+        lo = np.minimum(left, right)
+        hi = np.maximum(left, right)
+        keep = lo != hi  # same part twice in an order is not an edge
+        return {"a": lo[keep], "b": hi[keep]}
+
+    pairs = ds.groupby("l_orderkey").map_groups(_pairs, batch_format="numpy")
+    return (
+        pairs.groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["a", "b"])
+    )
+
+
+def graph_degrees(sf_dir: str):
+    from mercury_graph_ray.graph import Graph
+
+    g = Graph(supplier_customer_edges(sf_dir))
+    df = g.degrees().to_pandas()
+    return df.sort_values("id").reset_index(drop=True)
+
+
+def weighted_out_degree(sf_dir: str):
+    from mercury_graph_ray.graph import Graph
+
+    g = Graph(supplier_customer_edges(sf_dir))
+    df = g.weighted_degrees("out").to_pandas()
+    return df.sort_values("id").reset_index(drop=True)
+
+
+def node_inference(sf_dir: str):
+    from mercury_graph_ray.stages.ids import distinct_vertices
+
+    ds = distinct_vertices(supplier_customer_edges(sf_dir))
+    return ds.to_pandas().sort_values("id").reset_index(drop=True)
+
+
+def undirected_closure(sf_dir: str):
+    from mercury_graph_ray.graph import Graph
+
+    g = Graph(supplier_customer_edges(sf_dir))
+    return g.undirected_edges().to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+
+
+def triangle_total(sf_dir: str):
+    """Single-row global triangle count on the part co-occurrence graph."""
+    from mercury_graph_ray.algos.triangles import TriangleCount
+    from mercury_graph_ray.graph import Graph
+
+    edges = part_cooccurrence_edges(sf_dir).rename_columns({"a": "src", "b": "dst"})
+    tc = TriangleCount(n_parts=8).fit(Graph(edges))
+    return pd.DataFrame({"total_triangles": [int(tc.total_)]})
+
+
+def pagerank_supplier_customer(sf_dir: str):
+    """Converged PageRank on the supplier→customer graph (no SQL oracle —
+    iterative; parity is covered by the networkx suite in tests/)."""
+    from mercury_graph_ray.algos.pagerank import PageRank
+
+    from mercury_graph_ray.graph import Graph
+
+    pr = PageRank(n_parts=8).fit(Graph(supplier_customer_edges(sf_dir)))
+    df = pr.pagerank_.to_pandas()
+    df["rank"] = df["rank"].round(9)
+    return df.sort_values("id").reset_index(drop=True)
+
+
+def connected_components_supplier_customer(sf_dir: str):
+    from mercury_graph_ray.algos.connected_components import ConnectedComponents
+    from mercury_graph_ray.graph import Graph
+
+    cc = ConnectedComponents(n_parts=8).fit(Graph(supplier_customer_edges(sf_dir)))
+    return cc.components_.to_pandas().sort_values("id").reset_index(drop=True)
+
+
+def label_propagation_supplier_customer(sf_dir: str):
+    from mercury_graph_ray.algos.label_propagation import LabelPropagation
+    from mercury_graph_ray.graph import Graph
+
+    lp = LabelPropagation(n_parts=8, max_iter=10).fit(Graph(supplier_customer_edges(sf_dir)))
+    return lp.labels_.to_pandas().sort_values("id").reset_index(drop=True)
+
+
+# ------------------------------------------------------------ documents
+def docs_token_stats(sf_dir: str):
+    """Per-doc token/char counts (SQL-parity with regexp_extract_all)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _stats(batch: pd.DataFrame) -> pd.DataFrame:
+        from mercury_graph_ray.functions.text import token_count
+
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": token_count(batch["text"]),
+                "n_chars": batch["text"].str.len().astype("int64"),
+            }
+        )
+
+    return ds.map_batches(_stats, batch_format="pandas").to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+def docs_exact_dedup(sf_dir: str):
+    """Exact dedup groups: keeper (min doc_id) + duplicate count per
+    distinct text. Hash-partition on the text; one shuffle."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.groupby("text").aggregate(
+        Min("doc_id", alias_name="keeper"), Count(alias_name="n_copies")
+    )
+    df = out.to_pandas()[["keeper", "n_copies"]]
+    return df.sort_values("keeper").reset_index(drop=True)
+
+
+def docs_lang_distribution(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", ["lang"])
+    return (
+        ds.groupby("lang")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,112 @@
+"""Training-data pipeline queries: dedup, similarity search, text analysis.
+
+Driver-contract callables (sf_dir -> DataFrame) over the ``documents`` and
+``embeddings`` test tables, wiring the stages/ operators (dedup.py,
+knn.py) and functions/text.py into the queries()/oracle_sql() surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def docs_quality(sf_dir: str):
+    """Quality-feature table (SQL-parity on the simple counters)."""
+    from mercury_graph_ray.functions.text import quality_features
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _q(batch: pd.DataFrame) -> pd.DataFrame:
+        f = quality_features(batch["text"])
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": f["n_chars"],
+                "n_tokens": f["n_tokens"],
+                "alpha_ratio": np.round(f["alpha_ratio"], 6),
+                "punct_ratio": np.round(f["punct_ratio"], 6),
+            }
+        )
+
+    return ds.map_batches(_q, batch_format="pandas").to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+def minhash_dedup_pairs(sf_dir: str):
+    """Near-duplicate candidate pairs by MinHash-LSH (rows-only check;
+    the exact-Jaccard property is asserted in tests/test_dedup.py)."""
+    from mercury_graph_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = minhash_lsh_pairs(ds, threshold=0.5, concurrency=2).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def simhash_dedup_pairs(sf_dir: str):
+    from mercury_graph_ray.stages.dedup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = simhash_pairs(ds, max_hamming=6).to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def embedding_dup_pairs(sf_dir: str):
+    from mercury_graph_ray.stages.dedup import embedding_dup_pairs as _ed
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = _ed(ds, threshold=0.9).to_pandas()
+    if out.empty:  # zero near-dups -> typed empty frame (schema-stable)
+        out = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                            "b": pd.Series([], dtype=np.int64),
+                            "cosine": pd.Series([], dtype=np.float64)})
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def knn_top5_vec0(sf_dir: str):
+    """Exact cosine top-5 neighbors of vec_id=0 (SQL-parity via duckdb
+    list_cosine_similarity)."""
+    import pyarrow.parquet as pq
+
+    from mercury_graph_ray.stages.knn import brute_force_topk
+
+    q = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .to_pandas()
+    )
+    qvec = np.array(q.loc[q.vec_id == 0, "embedding"].iloc[0], np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(ds, qvec[None, :], k=5, exclude_self=True,
+                           query_ids=np.array([0]))
+    out = out[["vec_id", "cosine", "rank"]].copy()
+    out["cosine"] = out["cosine"].round(4)
+    return out.reset_index(drop=True)
+
+
+def knn_ivf_vs_brute(sf_dir: str, k: int = 10, n_queries: int = 8):
+    """IVF recall@k against the brute-force baseline (used by tests)."""
+    import pyarrow.parquet as pq
+
+    from mercury_graph_ray.stages.knn import IvfIndex, brute_force_topk
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    qids = tbl["vec_id"].to_numpy(np.int64)[:n_queries]
+    qmat = np.stack(tbl.loc[tbl.vec_id.isin(qids), "embedding"].to_numpy()).astype(np.float64)
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    exact = brute_force_topk(ds, qmat, k=k, query_ids=qids)
+    idx = IvfIndex.build(ds, nlist=8)
+    approx = idx.search(qmat, k=k, nprobe=3, query_ids=qids)
+    recalls = []
+    for qid in qids:
+        e = set(exact.loc[exact["query"] == qid, "vec_id"])
+        a = set(approx.loc[approx["query"] == qid, "vec_id"])
+        recalls.append(len(e & a) / max(1, len(e)))
+    return pd.DataFrame({"query": qids, "recall": recalls})

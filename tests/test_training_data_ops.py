@@ -1,0 +1,194 @@
+"""Dedup family, ANN search, text analysis, multimodal plumbing tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_with_dups(ray_session):
+    import ray.data as rd
+
+    base = [
+        "the quick brown fox jumps over the lazy dog in the morning light",
+        "a completely different document about ray data pipelines and arrow",
+        "numerical computing with numpy is fast when you stay vectorized",
+        "el rápido zorro marrón salta sobre el perro perezoso cada mañana",
+    ]
+    rows = []
+    for i in range(40):
+        b = base[i % 4]
+        if i < 36:
+            text = b
+        else:
+            text = b + " extra tail words"  # near-dup of its base
+        rows.append({"doc_id": i, "text": text})
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def test_exact_dedup(ray_session):
+    from mercury_graph_ray.stages.dedup import exact_dedup
+
+    ds = _docs_with_dups(ray_session)
+    out = exact_dedup(ds).to_pandas().sort_values("keeper").reset_index(drop=True)
+    assert len(out) == 8  # 4 bases + 4 tailed variants
+    assert out.n_copies.sum() == 40
+    assert out.keeper.iloc[0] == 0
+
+
+def test_minhash_lsh_finds_near_dups(ray_session):
+    from mercury_graph_ray.stages.dedup import minhash_lsh_pairs, ngram_jaccard
+
+    ds = _docs_with_dups(ray_session)
+    pairs = minhash_lsh_pairs(ds, threshold=0.5, concurrency=2).to_pandas()
+    # every exact-duplicate pair of doc 0's group must be found
+    group0 = [i for i in range(36) if i % 4 == 0]
+    found = {(a, b) for a, b in zip(pairs.a, pairs.b)}
+    for i in group0:
+        for j in group0:
+            if i < j:
+                assert (i, j) in found
+    # near-dup (36 vs 0) should surface: high real jaccard
+    assert ngram_jaccard(
+        "the quick brown fox jumps over the lazy dog in the morning light",
+        "the quick brown fox jumps over the lazy dog in the morning light extra tail words",
+    ) > 0.6
+    assert (0, 36) in found
+    # no cross-content false positives at threshold 0.5
+    for a, b in found:
+        assert a % 4 == b % 4
+
+
+def test_minhash_deterministic_across_partitioning(ray_session):
+    from mercury_graph_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = _docs_with_dups(ray_session)
+    p1 = minhash_lsh_pairs(ds, threshold=0.5, concurrency=2).to_pandas()
+    p2 = minhash_lsh_pairs(ds.repartition(7), threshold=0.5, concurrency=3).to_pandas()
+    k1 = sorted(zip(p1.a, p1.b, p1.est_jaccard))
+    k2 = sorted(zip(p2.a, p2.b, p2.est_jaccard))
+    assert k1 == k2
+
+
+def test_simhash_pairs(ray_session):
+    from mercury_graph_ray.stages.dedup import simhash_pairs
+
+    ds = _docs_with_dups(ray_session)
+    out = simhash_pairs(ds, max_hamming=3).to_pandas()
+    found = {(a, b) for a, b in zip(out.a, out.b)}
+    assert (0, 4) in found  # identical docs -> hamming 0
+    assert all(h <= 3 for h in out.hamming)
+
+
+def test_embedding_dup_pairs(ray_session):
+    import ray.data as rd
+
+    from mercury_graph_ray.stages.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((10, 16))
+    vecs = np.concatenate([base, base[:3] + rng.standard_normal((3, 16)) * 1e-3])
+    ds = rd.from_pandas(
+        pd.DataFrame({"vec_id": np.arange(13), "embedding": list(vecs)})
+    )
+    out = embedding_dup_pairs(ds, threshold=0.99).to_pandas()
+    found = {(a, b) for a, b in zip(out.a, out.b)}
+    for i in range(3):
+        assert (i, 10 + i) in found
+    assert all(c >= 0.99 for c in out.cosine)
+
+
+def test_brute_force_knn_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from mercury_graph_ray.stages.knn import brute_force_topk
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((200, 32))
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": np.arange(200), "embedding": list(vecs)}))
+    q = vecs[:3]
+    out = brute_force_topk(ds, q, k=5, query_ids=np.arange(3))
+    unit = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    sims = unit @ unit[:3].T
+    for qi in range(3):
+        want = np.argsort(-sims[:, qi], kind="stable")[:5]
+        got = out.loc[out["query"] == qi].sort_values("rank")["vec_id"].to_numpy()
+        assert set(got) == set(want)
+        assert got[0] == qi  # self is the nearest
+
+
+def test_ivf_recall(ray_session):
+    from mercury_graph_ray.pipelines.training_data import knn_ivf_vs_brute
+
+    rec = knn_ivf_vs_brute(SF, k=10, n_queries=4)
+    assert rec.recall.mean() >= 0.6  # nprobe=3 of nlist=8
+
+
+def test_text_stats(ray_session):
+    import ray.data as rd
+
+    from mercury_graph_ray.functions.text import TextStats, lang_id, token_count
+
+    assert token_count(pd.Series(["a b  c", "", "  x "])).tolist() == [3, 0, 1]
+    assert lang_id("the cat and the dog went to the house of things") == "en"
+    assert lang_id("la casa de la montaña que se ve desde aquí") == "es"
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["hello world!", "hola de la casa"]})
+    )
+    out = ds.map_batches(TextStats, batch_format="pandas", concurrency=1).to_pandas()
+    assert set(out.columns) >= {
+        "n_chars", "n_tokens", "alpha_ratio", "punct_ratio",
+        "stopword_ratio", "lang_pred", "fingerprint",
+    }
+    # fingerprints deterministic
+    out2 = ds.map_batches(TextStats, batch_format="pandas", concurrency=1).to_pandas()
+    assert out.fingerprint.tolist() == out2.fingerprint.tolist()
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    from mercury_graph_ray.stages.multimodal import (
+        FrameSample,
+        ImageDecode,
+        ImageResize,
+        fake_image_decoder,
+        synth_media_table,
+    )
+
+    tbl = synth_media_table(24, seed=42)
+    ds = rd.from_arrow(tbl)
+    dec = ds.map_batches(
+        ImageDecode,
+        fn_constructor_kwargs={"decoder": fake_image_decoder},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=2,
+    ).to_pandas()
+    assert len(dec) == 24
+    assert (dec.height >= 8).all() and (dec.width >= 8).all()
+    assert len(dec.channel_mean.iloc[0]) == 3
+    assert "data" not in dec.columns  # payload dropped after decode
+
+    rs = rd.from_arrow(tbl).map_batches(
+        ImageResize,
+        fn_constructor_kwargs={"decoder": fake_image_decoder, "size": 4},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=2,
+    ).to_pandas()
+    assert len(rs.thumb.iloc[0]) == 4 * 4 * 3
+
+    fs = rd.from_arrow(tbl).map_batches(
+        FrameSample, batch_format="pyarrow", batch_size=8
+    ).to_pandas()
+    offs = np.stack(fs.frame_offsets.to_numpy())
+    assert offs.shape == (24, 4)
+    assert (offs[:, 0] < offs[:, 1]).all()
+
+    # stub contract: no decoder -> NotImplementedError naming the library
+    with pytest.raises(Exception, match="PIL|decoder"):
+        rd.from_arrow(synth_media_table(2)).map_batches(
+            ImageDecode, batch_format="pyarrow"
+        ).materialize()
