@@ -144,9 +144,9 @@ class ConnectedComponents:
             {"label": pa.int64(), "component_size": pa.int64()},
         )
         self.n_components_ = sizes.count()
-        joined = labels.join(
-            sizes, join_type="inner", num_partitions=max(2, gas.p), on=("label",)
-        )
+        from mercury_graph_ray.stages.join import hash_join
+
+        joined = hash_join(labels, sizes, on=("label",), num_buckets=max(2, gas.p))
         out = vd.decode(joined, col="id")
         out = vd.decode(out, col="label", out_col="component")
         self.components_ = out.select_columns(["id", "component", "component_size"])

@@ -1,0 +1,180 @@
+"""Spreading activation diffusion (reference:
+mercury/graph/ml/spark_spreadactivation.py:200-296).
+
+Per step, for every edge (u, v) of the directed graph (aggregateMessages
+semantics decoded from _spread_activation_step):
+
+- u receives ``inf[u]/outDeg[u] * (1-sf)`` per out-edge — summed, a node
+  with out-edges keeps ``(1-sf) * inf[u]``;
+- v receives ``inf[u] * sf * w(u,v)/w_outDeg(u)`` (weighted transfer) or
+  ``inf[u] * sf / outDeg[u]`` (unweighted);
+- a sink v (outDeg == 0) additionally receives ``inf[v]/inDeg[v]`` per
+  in-edge — summed, a sink keeps its full prior influence;
+- new influence = sum of received messages; total influence is conserved
+  (Σ influence = |seeds|, asserted by the reference's
+  unit_tests/test_ml_spark_spreadactivation.py:55).
+
+``influenced_by=True`` additionally propagates the *set* of seed nodes
+whose influence reached each node (set-union per step, reference
+:278-296); sets are kept as sorted lists for determinism.
+
+Mapped onto the GAS engine: the sink's self-retention is emitted from the
+sink's own partition (it equals ``inf[v]`` exactly, so no dst-side state
+is needed at the source partition); everything else is the standard
+scatter/gather with per-partition pre-combine. Static in/out-degree
+vectors are built once per partition and broadcast via the object store.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from mercury_graph_ray.algos.common import prepare
+from mercury_graph_ray.stages.csr import CsrBlock, local_ids, n_local_vertices
+
+
+class SpreadingActivation:
+    """``SpreadingActivation(spreading_steps=2, ...).fit(g, seed_nodes)``
+    sets ``influences_`` (id, influence[, influenced_by])."""
+
+    def __init__(
+        self,
+        spreading_factor: float = 0.2,
+        transfer_function: str = "weighted",
+        spreading_steps: int = 2,
+        influenced_by: bool = False,
+        n_parts: int | None = None,
+        workdir: str | None = None,
+    ):
+        self.spreading_factor = spreading_factor
+        self.transfer_function = transfer_function
+        self.spreading_steps = spreading_steps
+        self.influenced_by = influenced_by
+        self.n_parts = n_parts
+        self.workdir = workdir
+
+    def fit(self, g, seed_nodes: list) -> "SpreadingActivation":
+        import ray
+
+        vd, gas = prepare(g, symmetrize=False, n_parts=self.n_parts, workdir=self.workdir)
+        p, n = gas.p, gas.n
+        sf = self.spreading_factor
+        weighted = self.transfer_function == "weighted"
+        track = self.influenced_by
+
+        # static per-partition in/out degree vectors (built once)
+        blocks = {q: ray.get(gas.csr_refs[q]) for q in range(p)}
+        in_deg = np.zeros(n, np.int64)
+        for b in blocks.values():
+            if len(b.dst):
+                np.add.at(in_deg, b.dst.astype(np.int64), 1)
+        deg_refs = {
+            q: ray.put(
+                {
+                    "out": np.diff(blocks[q].indptr),
+                    "in": in_deg[local_ids(n, q, p).astype(np.int64)],
+                }
+            )
+            for q in range(p)
+        }
+        del blocks
+
+        # initial state: seeds = 1.0
+        seed_keys = set(map(str, seed_nodes))
+        mapping = vd.mapping.to_pandas()
+        seed_vids = set(
+            mapping.loc[mapping["id"].astype(str).isin(seed_keys), "vid"].astype(np.int64)
+        )
+        seed_ref = ray.put(np.array(sorted(seed_vids), np.int64))
+
+        import ray.data as rd
+
+        def _init(batch: dict) -> pd.DataFrame:
+            ids = batch["id"].astype(np.int64)
+            seeds = ray.get(seed_ref)
+            inf = np.isin(ids, seeds).astype(np.float64)
+            df = pd.DataFrame({"id": ids.astype(np.uint64), "part": ids % p, "influence": inf})
+            if track:
+                df["influenced_by"] = [
+                    [str(v)] if f > 0 else [] for v, f in zip(ids, inf)
+                ]
+            return df
+
+        state = (
+            rd.range(n).map_batches(_init, batch_format="numpy", batch_size=1 << 20).materialize()
+        )
+
+        csr_refs = gas.csr_refs
+
+        def _scatter(group: pd.DataFrame) -> pd.DataFrame:
+            part = int(group["part"].iloc[0])
+            csr: CsrBlock = ray.get(csr_refs[part])
+            degs = ray.get(deg_refs[part])
+            local = (group["id"].to_numpy(np.uint64) // np.uint64(p)).astype(np.int64)
+            inf = np.zeros(csr.n_local, np.float64)
+            inf[local] = group["influence"].to_numpy(np.float64)
+            out_deg = degs["out"]
+            ind = degs["in"]
+
+            # per-edge transfer to dst
+            if weighted:
+                transfer = inf[csr.row_of_edge] * sf * csr.w_norm
+            else:
+                with np.errstate(divide="ignore"):
+                    inv_out = 1.0 / np.maximum(out_deg, 1)
+                transfer = inf[csr.row_of_edge] * sf * inv_out[csr.row_of_edge]
+            sums = np.bincount(csr.dst_inv, weights=transfer, minlength=len(csr.uniq_dst))
+
+            # self retention (emitted from the owner partition)
+            keep = np.where(
+                out_deg > 0, (1.0 - sf) * inf, np.where(ind > 0, inf, 0.0)
+            )
+            ids_global = local_ids(n, part, p)
+            dst = np.concatenate([csr.uniq_dst, ids_global])
+            contrib = np.concatenate([sums, keep])
+            out = pd.DataFrame(
+                {
+                    "gpart": (dst % np.uint64(p)).astype(np.int64),
+                    "dst": dst,
+                    "contrib": contrib,
+                }
+            )
+            if track:
+                sets_local = np.empty(csr.n_local, object)
+                sets_local[local] = list(group["influenced_by"])
+                edge_sets = [
+                    set(sets_local[r]) if sets_local[r] is not None else set()
+                    for r in csr.row_of_edge
+                ]
+                uniq_sets = [set() for _ in range(len(csr.uniq_dst))]
+                for inv_i, s in zip(csr.dst_inv, edge_sets):
+                    uniq_sets[inv_i] |= s
+                self_sets = [set(s) if s is not None else set() for s in sets_local]
+                out["infl"] = [sorted(s) for s in uniq_sets] + [sorted(s) for s in self_sets]
+            return out
+
+        def _gather(group: pd.DataFrame) -> pd.DataFrame:
+            part = int(group["gpart"].iloc[0])
+            n_local = n_local_vertices(n, part, p)
+            ids = local_ids(n, part, p)
+            local = (group["dst"].to_numpy(np.uint64) // np.uint64(p)).astype(np.int64)
+            acc = np.bincount(local, weights=group["contrib"].to_numpy(np.float64),
+                              minlength=n_local)
+            df = pd.DataFrame({"id": ids, "part": np.full(n_local, part, np.int64),
+                               "influence": acc})
+            if track:
+                merged = [set() for _ in range(n_local)]
+                for li, s in zip(local, group["infl"]):
+                    merged[li] |= set(s)
+                df["influenced_by"] = [sorted(s) for s in merged]
+            return df
+
+        for _ in range(self.spreading_steps):
+            msgs = state.groupby("part").map_groups(_scatter, batch_format="pandas")
+            state = msgs.groupby("gpart").map_groups(_gather, batch_format="pandas").materialize()
+
+        cols = ["id", "influence"] + (["influenced_by"] if track else [])
+        self.influences_ = vd.decode(state.select_columns(cols), col="id")
+        self.total_influence_ = float(state.sum("influence"))
+        return self

@@ -137,7 +137,9 @@ class TriangleCount:
             {"a": pa.int64(), "b": pa.int64(), "center": pa.int64()},
         )
         canon_clean = ensure_schema(canon, {"a": pa.int64(), "b": pa.int64()})
-        tri = wedges.join(canon_clean, join_type="inner", num_partitions=max(2, p), on=("a", "b"))
+        from mercury_graph_ray.stages.join import hash_join
+
+        tri = hash_join(wedges, canon_clean, on=("a", "b"), num_buckets=max(2, p))
 
         def _credit(t: pa.Table) -> pa.Table:
             ids = np.concatenate(

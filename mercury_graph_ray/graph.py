@@ -170,7 +170,7 @@ class Graph:
         def _pad(t: pa.Table, have: str, missing: list[str]) -> pa.Table:
             for m in missing:
                 t = t.append_column(m, pa.array([0] * t.num_rows, pa.int64()))
-            return t.select_columns(["id", "out_degree", "in_degree", "_zero"])
+            return t.select(["id", "out_degree", "in_degree", "_zero"])
 
         out = out.map_batches(lambda t: _pad(t, "out", ["in_degree", "_zero"]), batch_format="pyarrow")
         inn = inn.map_batches(lambda t: _pad(t, "in", ["out_degree", "_zero"]), batch_format="pyarrow")

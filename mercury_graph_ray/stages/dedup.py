@@ -214,10 +214,10 @@ def simhash64(texts: pd.Series) -> np.ndarray:
             continue
         acc = np.zeros(64, np.int64)
         for tok in toks:
-            h = int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
-            )
-            bits = (h >> np.arange(64)) & 1
+            h = np.frombuffer(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), np.uint64
+            )[0]
+            bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
             acc += np.where(bits == 1, 1, -1)
         bits = (acc > 0).astype(np.uint64)
         out[i] = np.uint64(sum(int(b) << k for k, b in enumerate(bits)))

@@ -114,10 +114,12 @@ class VertexDict:
                 return t
 
             return edges.map_batches(_relabel, batch_format="pyarrow")
+        from mercury_graph_ray.stages.join import hash_join
+
         out = edges
         for c in cols:
             m = self.mapping.rename_columns({"id": c, "vid": f"_vid_{c}"})
-            out = out.join(m, join_type="inner", num_partitions=64, on=(c,))
+            out = hash_join(out, m, on=(c,), num_buckets=64)
             out = out.drop_columns([c]).rename_columns({f"_vid_{c}": c})
         return out
 
@@ -141,6 +143,8 @@ class VertexDict:
                 return t
 
             return ds.map_batches(_unmap, batch_format="pyarrow")
+        from mercury_graph_ray.stages.join import hash_join
+
         m = self.mapping.rename_columns({"vid": col, "id": "_orig"})
-        out = ds.join(m, join_type="inner", num_partitions=64, on=(col,))
+        out = hash_join(ds, m, on=(col,), num_buckets=64)
         return out.drop_columns([col]).rename_columns({"_orig": out_col})
