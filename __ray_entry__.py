@@ -50,6 +50,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components_supplier_customer": tpch.connected_components_supplier_customer,
         "label_propagation_supplier_customer": tpch.label_propagation_supplier_customer,
         # documents / training-data ops (text analysis, dedup, ANN)
+        "events_sessionization": tpch.events_sessionization,
+        "louvain_part_graph": tpch.louvain_part_graph,
+        "spread_activation_suppliers": tpch.spread_activation_suppliers,
+        "random_walks_suppliers": tpch.random_walks_suppliers,
         "docs_token_stats": tpch.docs_token_stats,
         "docs_exact_dedup": tpch.docs_exact_dedup,
         "docs_lang_distribution": tpch.docs_lang_distribution,
@@ -152,6 +156,18 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs e1
             JOIN pairs e2 ON e1.b = e2.a
             JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "events_sessionization": """
+            WITH g AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            )
+            SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
+            FROM g GROUP BY user_id ORDER BY user_id
         """,
         "docs_token_stats": """
             SELECT doc_id,

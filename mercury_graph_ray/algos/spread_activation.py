@@ -90,14 +90,17 @@ class SpreadingActivation:
 
         import ray.data as rd
 
+        keys_ref = vd._broadcast_ref  # vid -> original key (sorted-key array)
+
         def _init(batch: dict) -> pd.DataFrame:
             ids = batch["id"].astype(np.int64)
             seeds = ray.get(seed_ref)
             inf = np.isin(ids, seeds).astype(np.float64)
             df = pd.DataFrame({"id": ids.astype(np.uint64), "part": ids % p, "influence": inf})
             if track:
+                keys = ray.get(keys_ref)
                 df["influenced_by"] = [
-                    [str(v)] if f > 0 else [] for v, f in zip(ids, inf)
+                    [str(keys[v])] if f > 0 else [] for v, f in zip(ids, inf)
                 ]
             return df
 

@@ -35,7 +35,10 @@ class Transition:
         df = edges.select_columns(cols).to_pandas()
         if "weight" not in df.columns:
             df["weight"] = 1.0
-        ids = sorted(set(df["src"]).union(df["dst"]))
+        all_ids = set(df["src"]).union(df["dst"])
+        if g._nodes is not None:  # isolated vertices become recurrent states
+            all_ids |= set(g.nodes.select_columns(["id"]).to_pandas()["id"])
+        ids = sorted(all_ids)
         idx = {v: i for i, v in enumerate(ids)}
         n = len(ids)
         mat = np.zeros((n, n), np.float64)

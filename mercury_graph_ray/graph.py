@@ -229,6 +229,35 @@ class Graph:
 
         return ConnectedComponents(**kw).fit(self).components_
 
+    def to_networkx(self):
+        """Collect to a networkx graph — explicitly a small-graph path,
+        mirroring the reference's networkx representation (graph.py:242-254).
+        The reference itself computes closeness/betweenness only here
+        (graph.py:656-679: 'too computationally expensive' distributed)."""
+        import networkx as nx
+
+        G = nx.DiGraph() if self.directed else nx.Graph()
+        for r in self.edges.to_pandas().itertuples():
+            w = float(getattr(r, "weight", 1.0))
+            G.add_edge(r.src, r.dst, weight=w)
+        for r in self.nodes.to_pandas().itertuples():
+            if r.id not in G:
+                G.add_node(r.id)
+        return G
+
+    def closeness_centrality(self) -> dict:
+        """Small-graph op (reference graph.py:656-671)."""
+        import networkx as nx
+
+        return nx.closeness_centrality(self.to_networkx())
+
+    def betweenness_centrality(self) -> dict:
+        """Small-graph op; the reference always uses networkx for this
+        (graph.py:673-679)."""
+        import networkx as nx
+
+        return nx.betweenness_centrality(self.to_networkx())
+
     def label_propagation(self, **kw):
         from mercury_graph_ray.algos.label_propagation import LabelPropagation
 
@@ -238,6 +267,17 @@ class Graph:
         from mercury_graph_ray.algos.triangles import TriangleCount
 
         return TriangleCount(**kw).fit(self).triangles_
+
+    # ----------------------------------------------------------- iterators
+    def node_iterator(self):
+        """Stream node rows as dicts (reference NodeIterator,
+        graph.py:9-55 — minus its per-row filter().first() anti-pattern:
+        this is a single streaming pass)."""
+        yield from self.nodes.iter_rows()
+
+    def edge_iterator(self):
+        """Stream edge rows as dicts (reference EdgeIterator, graph.py:58-105)."""
+        yield from self.edges.iter_rows()
 
     # ------------------------------------------------------------- exports
     def nodes_as_pandas(self):

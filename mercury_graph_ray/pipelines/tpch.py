@@ -244,6 +244,63 @@ def label_propagation_supplier_customer(sf_dir: str):
     return lp.labels_.to_pandas().sort_values("id").reset_index(drop=True)
 
 
+def events_sessionization(sf_dir: str, gap_minutes: int = 30):
+    """Session counts per user: a new session starts when the gap from the
+    previous event exceeds ``gap_minutes``. Ray side: one groupby(user)
+    shuffle + per-group sorted pandas (the guide's window pattern); SQL
+    side: lag() window + running sum."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values()
+        gaps = ts.diff().dt.total_seconds().fillna(np.inf)
+        n_sessions = int((gaps > gap_minutes * 60).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions]})
+
+    out = ds.groupby("user_id").map_groups(_sessions, batch_format="pandas")
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+def louvain_part_graph(sf_dir: str):
+    """Louvain communities over the part co-occurrence graph (rows-only:
+    iterative; exactness is proven on the reference fixture in tests)."""
+    from mercury_graph_ray.algos.louvain import LouvainCommunities
+    from mercury_graph_ray.graph import Graph
+
+    edges = part_cooccurrence_edges(sf_dir).rename_columns({"a": "src", "b": "dst"})
+    lc = LouvainCommunities(max_iter=5, max_pass=1).fit(Graph(edges))
+    df = lc.labels_.to_pandas()
+    return df.sort_values("node_id").reset_index(drop=True)
+
+
+def spread_activation_suppliers(sf_dir: str):
+    """2-step spreading activation from the two highest-degree suppliers."""
+    from mercury_graph_ray.algos.spread_activation import SpreadingActivation
+    from mercury_graph_ray.graph import Graph
+
+    g = Graph(supplier_customer_edges(sf_dir))
+    sa = SpreadingActivation(spreading_factor=0.2, spreading_steps=2, n_parts=8).fit(
+        g, seed_nodes=["s1", "s2"]
+    )
+    df = sa.influences_.to_pandas()
+    df["influence"] = df["influence"].round(9)
+    return df.sort_values("id").reset_index(drop=True)
+
+
+def random_walks_suppliers(sf_dir: str):
+    from mercury_graph_ray.algos.randomwalk import RandomWalker
+    from mercury_graph_ray.graph import Graph
+
+    g = Graph(supplier_customer_edges(sf_dir))
+    rw = RandomWalker(num_epochs=3, seed=42, n_parts=8).fit(
+        g, source_id=["s1", "s2", "s3"]
+    )
+    df = rw.paths_.to_pandas()
+    df["walk_len"] = df["random_walks"].map(len)
+    df["start"] = df["random_walks"].map(lambda p: p[0])
+    return df[["start", "walk_len"]].sort_values(["start"]).reset_index(drop=True)
+
+
 # ------------------------------------------------------------ documents
 def docs_token_stats(sf_dir: str):
     """Per-doc token/char counts (SQL-parity with regexp_extract_all)."""

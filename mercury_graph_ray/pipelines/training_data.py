@@ -46,7 +46,7 @@ def minhash_dedup_pairs(sf_dir: str):
     from mercury_graph_ray.stages.dedup import minhash_lsh_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = minhash_lsh_pairs(ds, threshold=0.5, concurrency=2).to_pandas()
+    out = minhash_lsh_pairs(ds, threshold=0.5, bands=32, concurrency=2).to_pandas()
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 

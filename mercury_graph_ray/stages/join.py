@@ -18,6 +18,44 @@ import pandas as pd
 import pyarrow as pa
 
 
+def broadcast_join(left, right_df: pd.DataFrame, on: list[str] | tuple, *,
+                   how: str = "inner"):
+    """Join a Dataset against a SMALL pandas table broadcast via ``ray.put``
+    — no shuffle, one streaming pass over the left side (the guide's
+    small-side pattern). Output blocks are typed Arrow (nullable ints
+    preserved on outer joins)."""
+    import ray
+
+    on = list(on)
+    lschema = left.schema()
+    lcols = list(lschema.names)
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rcols = list(right_df.columns)
+    rtypes = {
+        c: pa.Schema.from_pandas(right_df[[c]]).field(c).type for c in rcols
+    }
+    extra_r = [c for c in rcols if c not in lcols]
+    out_cols = lcols + extra_r
+    all_types = {**rtypes, **ltypes}
+    ref = ray.put(right_df)
+
+    def _bj(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or t.num_rows == 0:
+            return pa.table({c: pa.nulls(0, type=all_types[c]) for c in out_cols})
+        rdf = ray.get(ref)
+        merged = t.to_pandas().merge(rdf, on=on, how=how)
+        return pa.table(
+            {c: pa.Array.from_pandas(merged[c], type=all_types[c]) for c in out_cols}
+        )
+
+    from mercury_graph_ray.stages.util import ensure_schema
+
+    return ensure_schema(
+        left.map_batches(_bj, batch_format="pyarrow"),
+        {c: all_types[c] for c in out_cols},
+    )
+
+
 def hash_join(left, right, on: list[str] | tuple, *, how: str = "inner",
               num_buckets: int = 32):
     """Join two Datasets on equality of ``on`` columns.
@@ -67,9 +105,23 @@ def hash_join(left, right, on: list[str] | tuple, *, how: str = "inner",
     r2 = right.map_batches(_prep(1, set(rcols)), batch_format="pyarrow")
     u = l2.union(r2)
 
-    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+    def _merge(group: pd.DataFrame) -> pa.Table:
         lpart = group.loc[group["__side"] == 0, lcols]
         rpart = group.loc[group["__side"] == 1, rcols]
-        return lpart.merge(rpart, on=on, how=how)[out_cols]
+        merged = lpart.merge(rpart, on=on, how=how)
+        # emit Arrow with the declared types so every block (including
+        # empty buckets) has an identical schema: pandas turns nullable
+        # ints into float64+NaN on outer joins; from_pandas converts back
+        # losslessly with nulls.
+        cols = {}
+        for c in out_cols:
+            cols[c] = pa.Array.from_pandas(merged[c], type=all_types[c])
+        return pa.table(cols)
 
-    return u.groupby("__bucket").map_groups(_merge, batch_format="pandas")
+    out = u.groupby("__bucket").map_groups(_merge, batch_format="pandas")
+    # map_groups synthesizes schema-less empty blocks for empty reduce
+    # partitions; normalize them (and guarantee schema() is non-None even
+    # for an all-empty result)
+    from mercury_graph_ray.stages.util import ensure_schema
+
+    return ensure_schema(out, {c: all_types[c] for c in out_cols})

@@ -1,0 +1,108 @@
+"""Graph facade behavior matrix (reference unit_tests/test_core_graph.py):
+toy_social fixture, keys remap, degrees, undirected closure, metrics."""
+
+import json
+
+import pandas as pd
+
+from mercury_graph_ray.graph import Graph
+from mercury_graph_ray.pipelines.viz import khop_subgraph, moebius_json
+
+
+def toy_social():
+    """test_core_graph.py:12-27: 7 people, 10 weighted directed edges,
+    remapped columns."""
+    edges = pd.DataFrame(
+        {
+            "Person_A": ["Alice", "Alice", "Alice", "Bob", "Bob", "Carol", "Dave",
+                         "Eve", "Frank", "Grace"],
+            "Person_B": ["Bob", "Carol", "Dave", "Carol", "Eve", "Dave", "Eve",
+                         "Frank", "Grace", "Alice"],
+            "Duration": [5.0, 2.0, 8.0, 1.0, 3.0, 2.0, 4.0, 1.0, 2.0, 6.0],
+        }
+    )
+    nodes = pd.DataFrame(
+        {
+            "Name": ["Alice", "Bob", "Carol", "Dave", "Eve", "Frank", "Grace"],
+            "Role": ["a", "b", "c", "d", "e", "f", "g"],
+        }
+    )
+    return edges, nodes
+
+
+def test_keys_remap_and_flags(ray_session):
+    edges, nodes = toy_social()
+    g = Graph(edges, keys={"src": "Person_A", "dst": "Person_B",
+                           "weight": "Duration", "id": "Name"}, nodes=nodes)
+    assert g.directed and g.weighted
+    assert set(g.edges.schema().names) == {"src", "dst", "weight"}
+    assert g.number_of_nodes == 7
+    assert g.number_of_edges == 10
+    # node attrs carried through untouched
+    ndf = g.nodes_as_pandas()
+    assert set(ndf.columns) == {"id", "Role"}
+
+
+def test_degrees_zero_fill(ray_session):
+    edges, nodes = toy_social()
+    g = Graph(edges, keys={"src": "Person_A", "dst": "Person_B",
+                           "weight": "Duration", "id": "Name"}, nodes=nodes)
+    deg = g.degrees().to_pandas().set_index("id")
+    # Alice: out 3 (Bob, Carol, Dave), in 1 (Grace)
+    assert deg.loc["Alice", "out_degree"] == 3
+    assert deg.loc["Alice", "in_degree"] == 1
+    assert deg.loc["Alice", "degree"] == 4
+    assert deg.loc["Grace", "out_degree"] == 1
+    assert len(deg) == 7
+
+
+def test_undirected_closure_doubles(ray_session):
+    edges, _ = toy_social()
+    g = Graph(edges, keys={"src": "Person_A", "dst": "Person_B", "weight": "Duration"})
+    und = g.undirected_edges().to_pandas()
+    # every edge present in both directions (no reciprocal pairs in fixture)
+    assert len(und) == 20
+    s = set(zip(und.src, und.dst))
+    assert ("Bob", "Alice") in s and ("Alice", "Bob") in s
+
+
+def test_node_inference(ray_session):
+    edges, _ = toy_social()
+    g = Graph(edges, keys={"src": "Person_A", "dst": "Person_B"})
+    assert g.number_of_nodes == 7
+    assert not g.weighted
+
+
+def test_small_graph_centralities(ray_session):
+    edges, _ = toy_social()
+    g = Graph(edges, keys={"src": "Person_A", "dst": "Person_B", "weight": "Duration"})
+    cc = g.closeness_centrality()
+    bc = g.betweenness_centrality()
+    assert set(cc) == set(bc)
+    assert all(v >= 0 for v in cc.values())
+
+
+def test_moebius_json_contract(ray_session):
+    edges, _ = toy_social()
+    g = Graph(edges, keys={"src": "Person_A", "dst": "Person_B", "weight": "Duration"})
+    out = moebius_json(g)
+    assert set(out) == {"nodes", "links"}
+    assert len(out["nodes"]) == 7 and len(out["links"]) == 10
+    ids = {n["_int_id"] for n in out["nodes"]}
+    assert ids == set(range(7))
+    json.dumps(out)  # must be serializable
+    # deterministic edge int ids: src + N*(dst+1)
+    n = len(out["nodes"])
+    node_int = {d["id"]: d["_int_id"] for d in out["nodes"]}
+    for l in out["links"]:
+        assert l["_int_id"] == node_int[l["source"]] + n * (node_int[l["target"]] + 1)
+
+
+def test_khop_subgraph(ray_session):
+    edges, _ = toy_social()
+    g = Graph(edges, keys={"src": "Person_A", "dst": "Person_B", "weight": "Duration"})
+    sub = khop_subgraph(g, "Alice", depth=1, limit=100)
+    ids = {n["id"] for n in sub["nodes"]}
+    assert ids == {"Alice", "Bob", "Carol", "Dave", "Grace"}
+    sub2 = khop_subgraph(g, "Alice", depth=3, limit=3)
+    assert len(sub2["nodes"]) <= 3 + 2  # budget respected (frontier granularity)

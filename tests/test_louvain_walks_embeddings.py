@@ -1,0 +1,221 @@
+"""Louvain (test_ml_louvain.py:36-95), random walks
+(test_ml_spark_randomwalker.py), embeddings (test_embeddings_*)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mercury_graph_ray.algos.embeddings import Embeddings, GraphEmbedding
+from mercury_graph_ray.algos.louvain import LouvainCommunities
+from mercury_graph_ray.algos.randomwalk import RandomWalker
+from mercury_graph_ray.graph import Graph
+
+
+def louvain9():
+    e = [(1, 0), (2, 1), (3, 2), (4, 3), (5, 3), (5, 4), (7, 6), (8, 6)]
+    return Graph(
+        pd.DataFrame(
+            {"src": [a for a, _ in e], "dst": [b for _, b in e], "weight": 1.0}
+        )
+    )
+
+
+def test_louvain_global_optimum(ray_session):
+    lc = LouvainCommunities().fit(louvain9())
+    labs = lc.labels_.to_pandas()
+    assert len(labs) == 9
+    partition = [
+        set(g["node_id"]) for _, g in labs.groupby("cluster")
+    ]
+    assert {0, 1, 2} in partition
+    assert {3, 4, 5} in partition
+    assert {6, 7, 8} in partition
+    assert lc.modularity_ > 0.4
+
+
+def test_louvain_rejects_duplicate_edges(ray_session):
+    df = pd.DataFrame({"src": ["a", "a"], "dst": ["b", "b"], "weight": [1.0, 2.0]})
+    with pytest.raises(ValueError, match="duplicate"):
+        LouvainCommunities().fit(Graph(df))
+
+
+def test_louvain_deterministic(ray_session):
+    a = LouvainCommunities().fit(louvain9()).labels_.to_pandas().sort_values("node_id")
+    b = LouvainCommunities().fit(louvain9()).labels_.to_pandas().sort_values("node_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def walker_graph():
+    return Graph(
+        pd.DataFrame(
+            {
+                "src": ["A", "A", "B", "C", "C"],
+                "dst": ["B", "C", "C", "D", "A"],
+                "weight": [2.0, 1.0, 1.0, 3.0, 4.0],
+            }
+        )
+    )
+
+
+def test_random_walker_paths(ray_session):
+    rw = RandomWalker(num_epochs=5, seed=7, n_parts=3).fit(walker_graph(), source_id=["A", "B"])
+    paths = rw.paths_.to_pandas()
+    assert len(paths) == 2
+    for r in paths.itertuples():
+        assert 1 <= len(r.random_walks) <= 6
+        assert len(r.weights) == len(r.random_walks)
+        assert r.weights[0] == 1.0
+        # cumulative probabilities strictly non-increasing
+        assert all(b <= a for a, b in zip(r.weights, r.weights[1:]))
+        # every consecutive pair is a real edge
+        edges = {("A", "B"), ("A", "C"), ("B", "C"), ("C", "D"), ("C", "A")}
+        for u, v in zip(r.random_walks, r.random_walks[1:]):
+            assert (u, v) in edges
+
+
+def test_random_walker_deterministic_and_seed_sensitivity(ray_session):
+    g = walker_graph()
+    a = RandomWalker(num_epochs=6, seed=7, n_parts=2).fit(g, ["A"]).paths_.to_pandas()
+    b = RandomWalker(num_epochs=6, seed=7, n_parts=5).fit(g, ["A"]).paths_.to_pandas()
+    assert a.random_walks.iloc[0] == b.random_walks.iloc[0]
+    c = RandomWalker(num_epochs=6, seed=8, n_parts=2).fit(g, ["A"]).paths_.to_pandas()
+    assert isinstance(c.random_walks.iloc[0], list)
+
+
+def test_random_walker_dead_end(ray_session):
+    # D is a dead end: the walk must stop there without crashing
+    rw = RandomWalker(num_epochs=10, seed=1, n_parts=2).fit(walker_graph(), ["A"])
+    path = rw.paths_.to_pandas().random_walks.iloc[0]
+    assert len(path) <= 11
+
+
+def test_embeddings_learning_moves_pairs_together(ray_session):
+    em = Embeddings(dimension=16, num_elements=6, seed=3)
+    m0 = em.as_numpy().copy()
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    conv = np.array([[0, 1]] * 30)
+    div = np.array([[2, 3]] * 30)
+    em.fit(converge=conv, diverge=div)
+    m1 = em.as_numpy()
+    assert cos(m1[0], m1[1]) > cos(m0[0], m0[1])
+    assert cos(m1[2], m1[3]) < cos(m0[2], m0[3])
+
+
+def test_embeddings_most_similar(ray_session):
+    em = Embeddings(dimension=8, num_elements=10, seed=5)
+    em.fit(converge=np.array([[0, 1]] * 60))
+    idx, sims = em.get_most_similar_embeddings(0, k=3, metric="cosine")
+    assert len(idx) == 3 and 0 not in idx
+    assert idx[0] == 1  # the converged partner is the most similar
+    assert all(x >= y for x, y in zip(sims, sims[1:]))
+    idx_e, _ = em.get_most_similar_embeddings(0, k=3, metric="euclidean")
+    assert len(idx_e) == 3
+    with pytest.raises(ValueError):
+        em.get_most_similar_embeddings(0, metric="bogus")
+
+
+def test_graph_embedding_csr_and_roundtrip(ray_session, tmp_path):
+    g = Graph(
+        pd.DataFrame(
+            {
+                "src": ["A", "B", "C", "C"],
+                "dst": ["C", "A", "D", "B"],
+                "weight": [780.0, 670.0, 893.0, 890.0],
+            }
+        )
+    )
+    ge = GraphEmbedding(dimension=8, n_jumps=200, seed=11).fit(g)
+    # CSR layout: node_ids sorted, row sums = out-weights
+    assert ge.node_ids == ["A", "B", "C", "D"]
+    assert ge.r_len.tolist() == [1, 1, 2, 0]
+    assert ge.r_sum.tolist() == [780.0, 670.0, 1783.0, 0.0]
+    assert ge.TotW == 3233.0
+    emb = ge["A"]
+    assert emb.shape == (8,)
+
+    path = str(tmp_path / "ge.bin")
+    ge.save(path)
+    ge2 = GraphEmbedding(load_file=path)
+    assert ge2.node_ids == ge.node_ids
+    np.testing.assert_array_equal(
+        ge2.embeddings_.embeddings_matrix_, ge.embeddings_.embeddings_matrix_
+    )
+    # corrupted header rejected (graphembeddings.py:329-341)
+    import bz2
+    import pickle
+
+    bad = str(tmp_path / "bad.bin")
+    with bz2.BZ2File(bad, "w") as f:
+        pickle.dump("not.the.header", f)
+    with pytest.raises(ValueError, match="Unsupported"):
+        GraphEmbedding(load_file=bad)
+
+
+def test_graph_embedding_walk_statistics(ray_session):
+    """Weighted sampling sanity: visits to C from A's row dominate vs D."""
+    g = Graph(
+        pd.DataFrame(
+            {
+                "src": ["A", "A"],
+                "dst": ["B", "C"],
+                "weight": [9.0, 1.0],
+            }
+        )
+    )
+    ge = GraphEmbedding(dimension=4, n_jumps=2000, max_per_epoch=5, seed=2).fit(g)
+    # no assertion on exact frequencies, just determinism
+    ge2 = GraphEmbedding(dimension=4, n_jumps=2000, max_per_epoch=5, seed=2).fit(g)
+    np.testing.assert_array_equal(
+        ge.embeddings_.embeddings_matrix_, ge2.embeddings_.embeddings_matrix_
+    )
+
+
+def test_louvain_distributed_reassign_matches_pandas(ray_session):
+    """The distributed _reassign_all (hash-join dataflow) must produce the
+    exact same (id, cx, cj) table as the pandas fast path on the same
+    input — a stronger, cheaper check than an end-to-end run."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mercury_graph_ray.stages.util import ensure_schema
+
+    lc = LouvainCommunities()
+    e = [(1, 0), (2, 1), (3, 2), (4, 3), (5, 3), (5, 4), (7, 6), (8, 6)]
+    edges_df = pd.DataFrame(
+        {"src": [a for a, _ in e], "dst": [b for _, b in e], "weight": 1.0}
+    ).astype({"src": np.int64, "dst": np.int64})
+    m = float(edges_df.weight.sum())
+    p_df = pd.DataFrame({"id": range(9), "c": range(9)}).astype(np.int64)
+    want = lc._reassign_pd(edges_df, p_df, m)
+
+    edges_ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(edges_df.src.to_numpy(np.int64)),
+                "dst": pa.array(edges_df.dst.to_numpy(np.int64)),
+                "weight": pa.array(edges_df.weight.to_numpy(np.float64)),
+            }
+        )
+    )
+    p_ds = ensure_schema(
+        rd.from_arrow(
+            pa.table({"id": pa.array(p_df.id.to_numpy(np.int64)),
+                      "c": pa.array(p_df.c.to_numpy(np.int64))})
+        ),
+        {"id": pa.int64(), "c": pa.int64()},
+    ).materialize()
+    got = (
+        ensure_schema(
+            lc._reassign_all(edges_ds, p_ds, m),
+            {"id": pa.int64(), "cx": pa.int64(), "cj": pa.int64()},
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

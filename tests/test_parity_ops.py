@@ -1,0 +1,122 @@
+"""Parity tests transcribed from the reference's unit tests:
+transition (test_ml_transition.py:88-127), spectral clustering
+(test_ml_spectral.py:41-98), spreading activation
+(test_ml_spark_spreadactivation.py:53-176)."""
+
+import numpy as np
+import pandas as pd
+
+from mercury_graph_ray.algos.spectral import SpectralClustering
+from mercury_graph_ray.algos.spread_activation import SpreadingActivation
+from mercury_graph_ray.algos.transition import Transition
+from mercury_graph_ray.graph import Graph
+
+
+def cities_graph():
+    df_edges = pd.DataFrame(
+        {
+            "src": ["Madrid", "Madrid", "Bilbao", "Bilbao", "Barcelona", "Barcelona"],
+            "dst": ["Bilbao", "Barcelona", "Santander", "Algorta", "Reus", "Andorra"],
+            "value": [50, 50, 25, 75, 25, 75],
+        }
+    )
+    df_nodes = pd.DataFrame(
+        {"node_id": ["Madrid", "Barcelona", "Bilbao", "Santander", "Andorra", "Reus", "Algorta"]}
+    )
+    return Graph(
+        df_edges,
+        keys={"src": "src", "dst": "dst", "weight": "value", "id": "node_id"},
+        nodes=df_nodes,
+    )
+
+
+def influence_graph():
+    df_edges = pd.DataFrame(
+        [("A", "B", 5.0), ("A", "C", 2.0), ("B", "E", 8.0), ("C", "A", 1.0),
+         ("D", "A", 8.0), ("D", "C", 2.0), ("E", "F", 3.0)],
+        columns=["src", "dst", "weight"],
+    )
+    return Graph(df_edges)
+
+
+def test_transition_exact(ray_session):
+    t = Transition().fit(cities_graph())
+    tm0 = t.to_pandas(num_iterations=0)
+    assert tm0.loc["Madrid", "Bilbao"] == 0 and tm0.loc["Andorra", "Andorra"] == 1
+    tm1 = t.to_pandas(num_iterations=1)
+    assert tm1["Madrid"].sum() == 0 and tm1["Barcelona"].sum() == 0.5
+    assert tm1.loc["Madrid", "Algorta"] == 0
+    assert tm1.loc["Bilbao", "Algorta"] == 0.75
+    assert tm1.loc["Reus", "Reus"] == 1
+    tm2 = t.to_pandas(num_iterations=2)
+    assert tm2.loc["Madrid", "Algorta"] == 0.375 and tm2.loc["Madrid", "Reus"] == 0.125
+    # stationary: dangling states absorb everything
+    tmk = t.to_pandas(num_iterations=2000)
+    assert tmk.loc["Madrid", "Algorta"] == 0.375 and tmk.loc["Madrid", "Reus"] == 0.125
+    assert np.allclose(tmk.sum(axis=1), 1.0)
+
+
+def test_spectral_memberships(ray_session):
+    df_edges = pd.DataFrame(
+        {
+            "src": ["a", "a", "a", "a", "b", "c", "e", "d", "d", "d", "g", "h", "f", "j", "j", "i"],
+            "dst": ["b", "c", "e", "z", "c", "e", "d", "g", "f", "h", "f", "f", "j", "i", "l", "l"],
+            "value": [1] * 16,
+        }
+    )
+    g = Graph(df_edges, keys={"src": "src", "dst": "dst", "weight": "value"})
+    sc = SpectralClustering(3, random_state=0).fit(g)
+    labs = sc.labels_.set_index("node_id")["cluster"]
+    assert len(labs) == 12
+    assert labs["a"] == labs["b"] == labs["c"] == labs["e"]
+    assert sc.modularity_ > 0
+    # determinism
+    sc2 = SpectralClustering(3, random_state=0).fit(g)
+    assert sc2.labels_.equals(sc.labels_)
+
+
+def test_spread_activation_conservation_and_reach(ray_session):
+    sa = SpreadingActivation(spreading_factor=0.2, spreading_steps=2, n_parts=3).fit(
+        influence_graph(), seed_nodes=["C", "D"]
+    )
+    res = sa.influences_.to_pandas().set_index("id")["influence"]
+    assert round(res.sum(), 3) == 2.0
+    assert set(res[res == 0].index) == {"E", "F"}
+    assert set(res[res > 0].index) == {"A", "B", "C", "D"}
+
+
+def test_spread_activation_exact_one_step(ray_session):
+    sa = SpreadingActivation(
+        spreading_factor=0.2, transfer_function="weighted", spreading_steps=1, n_parts=3
+    ).fit(influence_graph(), seed_nodes=["D"])
+    res = sa.influences_.to_pandas().set_index("id")["influence"]
+    assert round(res["D"], 3) == 0.8
+    assert round(res["C"], 3) == 0.04
+    assert round(res["A"], 3) == 0.16
+
+    sa = SpreadingActivation(
+        spreading_factor=0.2, transfer_function="unweighted", spreading_steps=1, n_parts=3
+    ).fit(influence_graph(), seed_nodes=["D"])
+    res = sa.influences_.to_pandas().set_index("id")["influence"]
+    assert round(res["D"], 3) == 0.8
+    assert round(res["C"], 3) == 0.1
+    assert round(res["A"], 3) == 0.1
+
+    sa = SpreadingActivation(
+        spreading_factor=0.6, transfer_function="weighted", spreading_steps=1, n_parts=3
+    ).fit(influence_graph(), seed_nodes=["D"])
+    res = sa.influences_.to_pandas().set_index("id")["influence"]
+    assert round(res["D"], 3) == 0.4
+
+
+def test_spread_activation_influenced_by(ray_session):
+    sa = SpreadingActivation(
+        spreading_factor=0.2, spreading_steps=2, influenced_by=True, n_parts=3
+    ).fit(influence_graph(), seed_nodes=["A", "D"])
+    res = sa.influences_.to_pandas().set_index("id")["influenced_by"]
+    assert set(res["A"]) == {"A", "D"}
+    assert set(res["B"]) == {"A", "D"}
+    assert set(res["C"]) == {"A", "D"}
+    assert set(res["D"]) == {"D"}
+    assert set(res["E"]) == {"A"}
+    assert len(res["F"]) == 0

@@ -41,7 +41,7 @@ def test_minhash_lsh_finds_near_dups(ray_session):
     from mercury_graph_ray.stages.dedup import minhash_lsh_pairs, ngram_jaccard
 
     ds = _docs_with_dups(ray_session)
-    pairs = minhash_lsh_pairs(ds, threshold=0.5, concurrency=2).to_pandas()
+    pairs = minhash_lsh_pairs(ds, threshold=0.5, bands=32, concurrency=2).to_pandas()
     # every exact-duplicate pair of doc 0's group must be found
     group0 = [i for i in range(36) if i % 4 == 0]
     found = {(a, b) for a, b in zip(pairs.a, pairs.b)}
@@ -64,8 +64,8 @@ def test_minhash_deterministic_across_partitioning(ray_session):
     from mercury_graph_ray.stages.dedup import minhash_lsh_pairs
 
     ds = _docs_with_dups(ray_session)
-    p1 = minhash_lsh_pairs(ds, threshold=0.5, concurrency=2).to_pandas()
-    p2 = minhash_lsh_pairs(ds.repartition(7), threshold=0.5, concurrency=3).to_pandas()
+    p1 = minhash_lsh_pairs(ds, threshold=0.5, bands=32, concurrency=2).to_pandas()
+    p2 = minhash_lsh_pairs(ds.repartition(7), threshold=0.5, bands=32, concurrency=3).to_pandas()
     k1 = sorted(zip(p1.a, p1.b, p1.est_jaccard))
     k2 = sorted(zip(p2.a, p2.b, p2.est_jaccard))
     assert k1 == k2
@@ -181,7 +181,7 @@ def test_multimodal_plumbing(ray_session):
     assert len(rs.thumb.iloc[0]) == 4 * 4 * 3
 
     fs = rd.from_arrow(tbl).map_batches(
-        FrameSample, batch_format="pyarrow", batch_size=8
+        FrameSample, batch_format="pyarrow", batch_size=8, concurrency=1
     ).to_pandas()
     offs = np.stack(fs.frame_offsets.to_numpy())
     assert offs.shape == (24, 4)
@@ -190,5 +190,5 @@ def test_multimodal_plumbing(ray_session):
     # stub contract: no decoder -> NotImplementedError naming the library
     with pytest.raises(Exception, match="PIL|decoder"):
         rd.from_arrow(synth_media_table(2)).map_batches(
-            ImageDecode, batch_format="pyarrow"
+            ImageDecode, batch_format="pyarrow", concurrency=1
         ).materialize()
