@@ -141,54 +141,39 @@ class Graph:
     # ------------------------------------------------------------- metrics
     def degrees(self):
         """Dataset (id, degree, in_degree, out_degree) with zero-fill,
-        mirroring graph.py:621-654. One groupby per direction over the
-        edge endpoints, then a single merge keyed on id."""
+        mirroring graph.py:621-654. Per-batch pre-aggregation (combiner)
+        collapses the 2E endpoint rows to unique-ids-per-batch partials
+        before the single groupby shuffle; node zero-fill rides the same
+        union."""
+        import numpy as np
         from ray.data.aggregate import Sum
 
-        e = self._edges
-        out = (
-            e.select_columns(["src"])
-            .rename_columns({"src": "id"})
-            .map_batches(
-                lambda t: t.append_column("out_degree", pa.array([1] * t.num_rows, pa.int64())),
-                batch_format="pyarrow",
+        def _partials(t: pa.Table) -> pa.Table:
+            src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            dst = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+            su, sc = np.unique(src, return_counts=True)
+            du, dc = np.unique(dst, return_counts=True)
+            ids = np.concatenate([su, du])
+            outp = np.concatenate([sc, np.zeros(len(du), np.int64)])
+            inp = np.concatenate([np.zeros(len(su), np.int64), dc])
+            return pa.table(
+                {"id": pa.array(ids), "out_degree": pa.array(outp),
+                 "in_degree": pa.array(inp)}
             )
-        )
-        inn = (
-            e.select_columns(["dst"])
-            .rename_columns({"dst": "id"})
-            .map_batches(
-                lambda t: t.append_column("in_degree", pa.array([1] * t.num_rows, pa.int64())),
-                batch_format="pyarrow",
-            )
-        )
-        nodes = self.nodes.select_columns(["id"]).map_batches(
-            lambda t: t.append_column("_zero", pa.array([0] * t.num_rows, pa.int64())),
-            batch_format="pyarrow",
-        )
 
-        def _pad(t: pa.Table, have: str, missing: list[str]) -> pa.Table:
-            for m in missing:
-                t = t.append_column(m, pa.array([0] * t.num_rows, pa.int64()))
-            return t.select(["id", "out_degree", "in_degree", "_zero"])
+        def _zeros(t: pa.Table) -> pa.Table:
+            z = pa.array(np.zeros(t.num_rows, np.int64))
+            return pa.table({"id": t["id"], "out_degree": z, "in_degree": z})
 
-        out = out.map_batches(lambda t: _pad(t, "out", ["in_degree", "_zero"]), batch_format="pyarrow")
-        inn = inn.map_batches(lambda t: _pad(t, "in", ["out_degree", "_zero"]), batch_format="pyarrow")
-        nodes = nodes.map_batches(
-            lambda t: _pad(t, "z", ["out_degree", "in_degree"]), batch_format="pyarrow"
-        )
-        unioned = out.union(inn).union(nodes)
-        agg = unioned.groupby("id").aggregate(
+        partials = self._edges.map_batches(_partials, batch_format="pyarrow")
+        zeros = self.nodes.select_columns(["id"]).map_batches(_zeros, batch_format="pyarrow")
+        agg = partials.union(zeros).groupby("id").aggregate(
             Sum("out_degree", alias_name="out_degree"),
             Sum("in_degree", alias_name="in_degree"),
         )
 
         def _final(t: pa.Table) -> pa.Table:
-            if self.directed:
-                deg = pc.add(t["out_degree"], t["in_degree"])
-            else:
-                # undirected: each stored edge contributes 1 to both ends
-                deg = pc.add(t["out_degree"], t["in_degree"])
+            deg = pc.add(t["out_degree"], t["in_degree"])
             return pa.table(
                 {
                     "id": t["id"],

@@ -178,7 +178,7 @@ def part_cooccurrence_edges(sf_dir: str):
 def graph_degrees(sf_dir: str):
     from mercury_graph_ray.graph import Graph
 
-    g = Graph(supplier_customer_edges(sf_dir))
+    g = Graph(supplier_customer_edges(sf_dir).materialize())
     df = g.degrees().to_pandas()
     return df.sort_values("id").reset_index(drop=True)
 
@@ -186,7 +186,7 @@ def graph_degrees(sf_dir: str):
 def weighted_out_degree(sf_dir: str):
     from mercury_graph_ray.graph import Graph
 
-    g = Graph(supplier_customer_edges(sf_dir))
+    g = Graph(supplier_customer_edges(sf_dir).materialize())
     df = g.weighted_degrees("out").to_pandas()
     return df.sort_values("id").reset_index(drop=True)
 
@@ -194,14 +194,14 @@ def weighted_out_degree(sf_dir: str):
 def node_inference(sf_dir: str):
     from mercury_graph_ray.stages.ids import distinct_vertices
 
-    ds = distinct_vertices(supplier_customer_edges(sf_dir))
+    ds = distinct_vertices(supplier_customer_edges(sf_dir).materialize())
     return ds.to_pandas().sort_values("id").reset_index(drop=True)
 
 
 def undirected_closure(sf_dir: str):
     from mercury_graph_ray.graph import Graph
 
-    g = Graph(supplier_customer_edges(sf_dir))
+    g = Graph(supplier_customer_edges(sf_dir).materialize())
     return g.undirected_edges().to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
 
 
@@ -222,7 +222,7 @@ def pagerank_supplier_customer(sf_dir: str):
 
     from mercury_graph_ray.graph import Graph
 
-    pr = PageRank(n_parts=8).fit(Graph(supplier_customer_edges(sf_dir)))
+    pr = PageRank(n_parts=8).fit(Graph(supplier_customer_edges(sf_dir).materialize()))
     df = pr.pagerank_.to_pandas()
     df["rank"] = df["rank"].round(9)
     return df.sort_values("id").reset_index(drop=True)
@@ -232,7 +232,7 @@ def connected_components_supplier_customer(sf_dir: str):
     from mercury_graph_ray.algos.connected_components import ConnectedComponents
     from mercury_graph_ray.graph import Graph
 
-    cc = ConnectedComponents(n_parts=8).fit(Graph(supplier_customer_edges(sf_dir)))
+    cc = ConnectedComponents(n_parts=8).fit(Graph(supplier_customer_edges(sf_dir).materialize()))
     return cc.components_.to_pandas().sort_values("id").reset_index(drop=True)
 
 
@@ -240,7 +240,7 @@ def label_propagation_supplier_customer(sf_dir: str):
     from mercury_graph_ray.algos.label_propagation import LabelPropagation
     from mercury_graph_ray.graph import Graph
 
-    lp = LabelPropagation(n_parts=8, max_iter=10).fit(Graph(supplier_customer_edges(sf_dir)))
+    lp = LabelPropagation(n_parts=8, max_iter=10).fit(Graph(supplier_customer_edges(sf_dir).materialize()))
     return lp.labels_.to_pandas().sort_values("id").reset_index(drop=True)
 
 
@@ -278,7 +278,7 @@ def spread_activation_suppliers(sf_dir: str):
     from mercury_graph_ray.algos.spread_activation import SpreadingActivation
     from mercury_graph_ray.graph import Graph
 
-    g = Graph(supplier_customer_edges(sf_dir))
+    g = Graph(supplier_customer_edges(sf_dir).materialize())
     sa = SpreadingActivation(spreading_factor=0.2, spreading_steps=2, n_parts=8).fit(
         g, seed_nodes=["s1", "s2"]
     )
@@ -291,7 +291,7 @@ def random_walks_suppliers(sf_dir: str):
     from mercury_graph_ray.algos.randomwalk import RandomWalker
     from mercury_graph_ray.graph import Graph
 
-    g = Graph(supplier_customer_edges(sf_dir))
+    g = Graph(supplier_customer_edges(sf_dir).materialize())
     rw = RandomWalker(num_epochs=3, seed=42, n_parts=8).fit(
         g, source_id=["s1", "s2", "s3"]
     )

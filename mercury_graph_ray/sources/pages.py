@@ -44,7 +44,10 @@ def page_url(i: int, n_sites: int) -> str:
     return f"https://site{i % n_sites}.example/p/{i}"
 
 
-def _page_html(i: int, n_pages: int, n_sites: int, seed: int) -> bytes:
+def _page_html(i: int, n_pages: int, n_sites: int, seed: int, body_scale: int = 1) -> bytes:
+    """``body_scale`` multiplies the paragraph count — bench-sized pages
+    (real Common-Crawl pages are tens of KB; the default tiny pages keep
+    the frozen unit-test goldens byte-stable)."""
     rng = np.random.default_rng([seed, i])
     site = i % n_sites
     title = f"Page {i} {' '.join(_WORDS[j % len(_WORDS)] for j in range(i, i + 3))}"
@@ -56,7 +59,7 @@ def _page_html(i: int, n_pages: int, n_sites: int, seed: int) -> bytes:
         f"<h1>{title}</h1>",
     ]
     # paragraphs of seeded lorem text (with an HTML entity to pin decoding)
-    for _ in range(int(rng.integers(1, 4))):
+    for _ in range(int(rng.integers(1, 4)) * body_scale):
         words = rng.integers(0, len(_WORDS), size=int(rng.integers(8, 25)))
         parts.append("<p>" + " ".join(_WORDS[w] for w in words) + " &amp; more</p>")
     # script noise that must NOT appear in extracted text
@@ -88,12 +91,13 @@ def _page_html(i: int, n_pages: int, n_sites: int, seed: int) -> bytes:
     return "".join(parts).encode("utf-8")
 
 
-def _gen_batch(batch: dict, *, n_pages: int, n_sites: int, seed: int) -> pa.Table:
+def _gen_batch(batch: dict, *, n_pages: int, n_sites: int, seed: int,
+               body_scale: int = 1) -> pa.Table:
     ids = batch["id"]
     urls, tss, htmls, texts, langs = [], [], [], [], []
     for i in map(int, ids):
         url = page_url(i, n_sites)
-        html = _page_html(i, n_pages, n_sites, seed)
+        html = _page_html(i, n_pages, n_sites, seed, body_scale)
         urls.append(url)
         tss.append(_EPOCH + datetime.timedelta(seconds=i))
         htmls.append(html)
@@ -110,7 +114,8 @@ def _gen_batch(batch: dict, *, n_pages: int, n_sites: int, seed: int) -> pa.Tabl
     )
 
 
-def synth_pages(n_pages: int, *, n_sites: int | None = None, seed: int = 42):
+def synth_pages(n_pages: int, *, n_sites: int | None = None, seed: int = 42,
+                body_scale: int = 1):
     """Return a ``ray.data.Dataset`` of n_pages synthetic web pages."""
     import ray.data as rd
 
@@ -120,7 +125,8 @@ def synth_pages(n_pages: int, *, n_sites: int | None = None, seed: int = 42):
     return ds.map_batches(
         _gen_batch,
         batch_format="numpy",
-        fn_kwargs={"n_pages": n_pages, "n_sites": n_sites, "seed": seed},
+        fn_kwargs={"n_pages": n_pages, "n_sites": n_sites, "seed": seed,
+                   "body_scale": body_scale},
         batch_size=2048,
     )
 
@@ -130,6 +136,7 @@ def pages_parquet(
     *,
     n_sites: int | None = None,
     seed: int = 42,
+    body_scale: int = 1,
     root: str = "/tmp/mgr_pages",
 ) -> str:
     """Materialize the synthetic pages table to parquet once; cached by key.
@@ -139,7 +146,8 @@ def pages_parquet(
     """
     if n_sites is None:
         n_sites = max(1, n_pages // 16)
-    out = Path(root) / f"n{n_pages}_s{seed}"
+    suffix = f"_b{body_scale}" if body_scale != 1 else ""
+    out = Path(root) / f"n{n_pages}_s{seed}{suffix}"
     manifest = out / "_MANIFEST.json"
     if manifest.exists():
         return str(out)
@@ -148,9 +156,10 @@ def pages_parquet(
         import shutil
 
         shutil.rmtree(tmp)
-    synth_pages(n_pages, n_sites=n_sites, seed=seed).write_parquet(str(tmp))
+    synth_pages(n_pages, n_sites=n_sites, seed=seed, body_scale=body_scale).write_parquet(str(tmp))
     os.replace(tmp, out)
     manifest.write_text(
-        json.dumps({"n_pages": n_pages, "n_sites": n_sites, "seed": seed})
+        json.dumps({"n_pages": n_pages, "n_sites": n_sites, "seed": seed,
+                    "body_scale": body_scale})
     )
     return str(out)
