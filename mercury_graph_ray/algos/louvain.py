@@ -45,6 +45,29 @@ def _sum_by(ds, key_cols, val_col, alias):
     return ds.groupby(key_cols).aggregate(Sum(val_col, alias_name=alias))
 
 
+# above this many rows a join side is too big to broadcast and the
+# shuffling hash_join is used instead (same threshold family as
+# stages/ids.py BROADCAST_MAX_VERTICES)
+_BROADCAST_ROWS = 20_000_000
+
+
+def _join(left, right, on, *, how="inner"):
+    """Adaptive join: broadcast the right side when it is small (one
+    streaming pass, no shuffle), else bucketed hash join. The right sides
+    in Louvain are per-vertex/per-community scalar tables, which shrink
+    with every coarsening pass."""
+    from mercury_graph_ray.stages.join import broadcast_join, hash_join
+
+    mat = right.materialize()
+    if mat.count() <= _BROADCAST_ROWS:
+        rdf = mat.to_pandas()
+        if rdf.shape[1] == 0:  # all-empty Dataset.to_pandas drops the schema
+            sch = mat.schema()
+            rdf = pa.schema(list(zip(sch.names, sch.types))).empty_table().to_pandas()
+        return broadcast_join(left, rdf, on, how=how)
+    return hash_join(left, mat, on, how=how)
+
+
 class LouvainCommunities:
     def __init__(self, min_modularity_gain=1e-03, max_pass=2, max_iter=10,
                  resolution=1, all_partitions=True, verbose=False,
@@ -212,10 +235,10 @@ class LouvainCommunities:
 
     def _label_edges(self, edges, partition):
         """edges + cSrc + cDst (louvain.py:333-377)."""
-        le = hash_join(
+        le = _join(
             edges, rename_cols(partition, {"id": "src", "c": "cSrc"}), on=("src",)
         )
-        return hash_join(
+        return _join(
             le, rename_cols(partition, {"id": "dst", "c": "cDst"}), on=("dst",)
         )
 
@@ -229,7 +252,7 @@ class LouvainCommunities:
             return pa.table({"w": pa.array([float(w[cs == cd].sum())])})
 
         k_in = le.map_batches(_kin, batch_format="pyarrow").sum("w") or 0.0
-        ld = hash_join(self._degrees(edges), partition, on=("id",))
+        ld = _join(self._degrees(edges), partition, on=("id",))
         kc = _sum_by(ld, "c", "degree", "kC").to_pandas()
         k_out = self.resolution * float((kc["kC"] ** 2).sum())
         norm = 1.0 / (2 * m)
@@ -237,9 +260,9 @@ class LouvainCommunities:
 
     def _reassign_all(self, edges, partition, m, n_buckets=16):
         """One synchronous reassignment pass -> (id, cx, cj)."""
-        ld = hash_join(self._degrees(edges), partition, on=("id",))  # id, degree, c
+        ld = _join(self._degrees(edges), partition, on=("id",))  # id, degree, c
         ck = _sum_by(ld, "c", "degree", "cx_sum_ki")
-        ld = hash_join(ld, ck, on=("c",)).materialize()
+        ld = _join(ld, ck, on=("c",)).materialize()
         le = self._label_edges(edges, partition).materialize()
 
         def _intra(t: pa.Table) -> pa.Table:
@@ -274,12 +297,12 @@ class LouvainCommunities:
                          ["id", "cj"], "weight", "cj_sum_aix")
         cj_ki = rename_cols(ck, {"c": "cj", "cx_sum_ki": "cj_sum_ki"})
 
-        dq = hash_join(ld, ensure_schema(cx_aix, {"id": pa.int64(), "cx_sum_aix": pa.float64()}),
-                       on=("id",), how="left")
-        dq = hash_join(dq, ensure_schema(
+        dq = _join(ld, ensure_schema(cx_aix, {"id": pa.int64(), "cx_sum_aix": pa.float64()}),
+                   on=("id",), how="left")
+        dq = _join(dq, ensure_schema(
             cj_aix, {"id": pa.int64(), "cj": pa.int64(), "cj_sum_aix": pa.float64()}),
             on=("id",), how="left")
-        dq = hash_join(dq, ensure_schema(
+        dq = _join(dq, ensure_schema(
             cj_ki, {"cj": pa.int64(), "cj_sum_ki": pa.float64()}),
             on=("cj",), how="left")
 
@@ -444,7 +467,7 @@ class LouvainCommunities:
                 else:
                     ret = ensure_schema(
                         rename_cols(
-                            hash_join(
+                            _join(
                                 ret,
                                 rename_cols(p, {"id": "c", "c": "c_next"}),
                                 on=("c",),
