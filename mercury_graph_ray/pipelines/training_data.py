@@ -17,6 +17,17 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _round_half_away(x, decimals: int):
+    """Round half away from zero (DuckDB ``round()`` semantics).
+
+    ``np.round`` does banker's rounding (half-to-even), which diverges from
+    the SQL oracle on exact halves — e.g. 0.8203125 rounds to 0.820312 in
+    numpy but 0.820313 in DuckDB.
+    """
+    m = 10.0 ** decimals
+    return np.sign(x) * np.floor(np.abs(np.asarray(x, np.float64)) * m + 0.5) / m
+
+
 def docs_quality(sf_dir: str):
     """Quality-feature table (SQL-parity on the simple counters)."""
     from mercury_graph_ray.functions.text import quality_features
@@ -30,8 +41,8 @@ def docs_quality(sf_dir: str):
                 "doc_id": batch["doc_id"],
                 "n_chars": f["n_chars"],
                 "n_tokens": f["n_tokens"],
-                "alpha_ratio": np.round(f["alpha_ratio"], 6),
-                "punct_ratio": np.round(f["punct_ratio"], 6),
+                "alpha_ratio": _round_half_away(f["alpha_ratio"], 6),
+                "punct_ratio": _round_half_away(f["punct_ratio"], 6),
             }
         )
 
