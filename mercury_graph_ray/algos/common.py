@@ -18,6 +18,18 @@ from mercury_graph_ray.stages.ids import VertexDict
 DEFAULT_N_PARTS = int(os.environ.get("MGR_N_PARTS", "16"))
 
 
+def explicit_nodes(g):
+    """The user-supplied nodes table, or None when nodes were inferred.
+
+    Isolated (edge-free) vertices only exist when the caller passed an
+    explicit nodes table; including them gives them PageRank mass and
+    singleton components, matching the reference's full-node-set
+    semantics (mercury/graph/core/graph.py:681-720)."""
+    if getattr(g, "_nodes", None) is not None and not getattr(g, "_nodes_inferred", True):
+        return g._nodes
+    return None
+
+
 def prepare(g, *, symmetrize: bool = False, n_parts: int | None = None, workdir: str | None = None):
     """Graph -> (VertexDict, GasGraph); cached per (symmetrize, n_parts)."""
     n_parts = n_parts or DEFAULT_N_PARTS
@@ -26,7 +38,7 @@ def prepare(g, *, symmetrize: bool = False, n_parts: int | None = None, workdir:
         return g._cache[key]
     vd_key = "vertex_dict"
     if vd_key not in g._cache:
-        g._cache[vd_key] = VertexDict.from_edges(g.edges)
+        g._cache[vd_key] = VertexDict.from_edges(g.edges, nodes=explicit_nodes(g))
     vd: VertexDict = g._cache[vd_key]
     edges = g.undirected_edges() if (symmetrize or not g.directed) else g.edges
     enc = vd.encode_edges(edges)

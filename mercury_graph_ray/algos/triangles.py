@@ -79,13 +79,52 @@ class TriangleCount:
     def __init__(self, n_parts: int | None = None):
         self.n_parts = n_parts or DEFAULT_N_PARTS
 
+    @staticmethod
+    def _orient_by_join(canon, degs, p: int):
+        """Scale path: attach degrees to both endpoints via two
+        distributed hash joins (no driver-side degree array), then orient
+        from the (deg, id)-smaller endpoint. Same output as the broadcast
+        path; used beyond BROADCAST_MAX_VERTICES."""
+        import pyarrow as pa
+
+        from mercury_graph_ray.stages.join import hash_join
+        from mercury_graph_ray.stages.util import ensure_schema, rename_cols
+
+        da = ensure_schema(
+            rename_cols(degs, {"id": "a", "deg": "deg_a"}),
+            {"a": pa.int64(), "deg_a": pa.int64()},
+        )
+        db = ensure_schema(
+            rename_cols(degs, {"id": "b", "deg": "deg_b"}),
+            {"b": pa.int64(), "deg_b": pa.int64()},
+        )
+        nb = max(2, p)
+        j = hash_join(canon, da, on=("a",), num_buckets=nb)
+        j = hash_join(j, db, on=("b",), num_buckets=nb)
+
+        def _orient_j(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            a = t["a"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t["b"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            dga = t["deg_a"].combine_chunks().to_numpy(zero_copy_only=False)
+            dgb = t["deg_b"].combine_chunks().to_numpy(zero_copy_only=False)
+            a_first = (dga < dgb) | ((dga == dgb) & (a < b))
+            u = np.where(a_first, a, b)
+            v = np.where(a_first, b, a)
+            return pa.table({"u": pa.array(u), "v": pa.array(v), "part": pa.array(u % p)})
+
+        return j.map_batches(_orient_j, batch_format="pyarrow")
+
     def fit(self, g) -> "TriangleCount":
         import ray
         from ray.data.aggregate import Count, Sum
 
         p = self.n_parts
         if "vertex_dict" not in g._cache:
-            g._cache["vertex_dict"] = VertexDict.from_edges(g.edges)
+            from mercury_graph_ray.algos.common import explicit_nodes
+
+            g._cache["vertex_dict"] = VertexDict.from_edges(g.edges, nodes=explicit_nodes(g))
         vd: VertexDict = g._cache["vertex_dict"]
         n = vd.n
 
@@ -109,29 +148,29 @@ class TriangleCount:
             .groupby("id")
             .aggregate(Count(alias_name="deg"))
         )
-        if n > BROADCAST_MAX_VERTICES:
-            raise NotImplementedError(
-                "orientation beyond broadcast threshold needs the join relabel path"
-            )
-        deg_arr = np.zeros(n, np.uint32)
-        for b in degs.iter_batches(batch_format="numpy", batch_size=1 << 20):
-            deg_arr[b["id"].astype(np.int64)] = b["deg"]
-        deg_ref = ray.put(deg_arr)
-
-        def _orient(t: pa.Table) -> pa.Table:
-            d = ray.get(deg_ref)
-            a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
-            b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
-            ai, bi = a.astype(np.int64), b.astype(np.int64)
-            # direct from (deg, id)-smaller to larger
-            a_first = (d[ai] < d[bi]) | ((d[ai] == d[bi]) & (a < b))
-            u = np.where(a_first, ai, bi)
-            v = np.where(a_first, bi, ai)
-            return pa.table({"u": pa.array(u), "v": pa.array(v), "part": pa.array(u % p)})
-
         from mercury_graph_ray.stages.util import ensure_schema
 
-        oriented = canon.map_batches(_orient, batch_format="pyarrow")
+        if n > BROADCAST_MAX_VERTICES:
+            oriented = self._orient_by_join(canon, degs, p)
+        else:
+            # broadcast path: one uint32 per dense vid (<=80 MB at the cap)
+            deg_arr = np.zeros(n, np.uint32)
+            for b in degs.iter_batches(batch_format="numpy", batch_size=1 << 20):
+                deg_arr[b["id"].astype(np.int64)] = b["deg"]
+            deg_ref = ray.put(deg_arr)
+
+            def _orient(t: pa.Table) -> pa.Table:
+                d = ray.get(deg_ref)
+                a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+                b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+                ai, bi = a.astype(np.int64), b.astype(np.int64)
+                # direct from (deg, id)-smaller to larger
+                a_first = (d[ai] < d[bi]) | ((d[ai] == d[bi]) & (a < b))
+                u = np.where(a_first, ai, bi)
+                v = np.where(a_first, bi, ai)
+                return pa.table({"u": pa.array(u), "v": pa.array(v), "part": pa.array(u % p)})
+
+            oriented = canon.map_batches(_orient, batch_format="pyarrow")
         wedges = ensure_schema(
             oriented.groupby("part").map_groups(_wedges_in_group, batch_format="numpy"),
             {"a": pa.int64(), "b": pa.int64(), "center": pa.int64()},

@@ -66,14 +66,18 @@ class Graph:
         if weight_in and weight_in != "weight":
             rename[weight_in] = "weight"
         if rename:
-            edges = edges.rename_columns(rename)
+            from mercury_graph_ray.stages.util import rename_cols
+
+            edges = rename_cols(edges, rename)
         self._edges = edges
         self.weighted: bool = "weight" in edges.schema().names
 
         if nodes is not None:
             nds = _to_dataset(nodes)
             if id_in != "id":
-                nds = nds.rename_columns({id_in: "id"})
+                from mercury_graph_ray.stages.util import rename_cols
+
+                nds = rename_cols(nds, {id_in: "id"})
             self._nodes = nds
             self._nodes_inferred = False
         else:
@@ -124,7 +128,11 @@ class Graph:
         e = self._edges
         cols = [c for c in e.schema().names if c in ("src", "dst", "weight")]
         e = e.select_columns(cols)
-        rev = e.rename_columns({"src": "dst", "dst": "src"}).select_columns(cols)
+        # rename one branch of a shared upstream: Dataset.rename_columns'
+        # Project op mis-fuses here (see stages/util.rename_cols docstring)
+        from mercury_graph_ray.stages.util import rename_cols
+
+        rev = rename_cols(e, {"src": "dst", "dst": "src"}).select_columns(cols)
         both = e.union(rev)
         from ray.data.aggregate import Max
 
@@ -196,9 +204,10 @@ class Graph:
                 lambda t: t.append_column("weight", pa.array([1.0] * t.num_rows, pa.float64())),
                 batch_format="pyarrow",
             )
+        from mercury_graph_ray.stages.util import rename_cols
+
         return (
-            e.select_columns([key, "weight"])
-            .rename_columns({key: "id"})
+            rename_cols(e.select_columns([key, "weight"]), {key: "id"})
             .groupby("id")
             .aggregate(Sum("weight", alias_name=f"w_{direction}"))
         )

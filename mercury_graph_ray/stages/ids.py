@@ -29,13 +29,23 @@ import pyarrow.compute as pc
 BROADCAST_MAX_VERTICES = 20_000_000
 
 
-def distinct_vertices(edges, src: str = "src", dst: str = "dst"):
-    """Dataset of distinct vertex keys under column ``id`` (one shuffle)."""
+def distinct_vertices(edges, src: str = "src", dst: str = "dst", extra_ids=None):
+    """Dataset of distinct vertex keys under column ``id`` (one shuffle).
+
+    ``extra_ids``: optional Dataset with an ``id`` column unioned in before
+    the distinct — used to include isolated vertices from an explicit nodes
+    table (the reference runs nx.pagerank/connected_components over the
+    full node set, mercury/graph/core/graph.py:681-720, so edge-free
+    vertices must still get ranks / singleton components).
+    """
     from ray.data.aggregate import Count
 
     s = edges.select_columns([src]).rename_columns({src: "id"})
     d = edges.select_columns([dst]).rename_columns({dst: "id"})
-    uniq = s.union(d).groupby("id").aggregate(Count(alias_name="_n"))
+    u = s.union(d)
+    if extra_ids is not None:
+        u = u.union(extra_ids.select_columns(["id"]))
+    uniq = u.groupby("id").aggregate(Count(alias_name="_n"))
     return uniq.select_columns(["id"])
 
 
@@ -49,7 +59,12 @@ def build_dictionary(vertex_ds):
     # pass 1: per-block (first_key, n) — blocks self-identify by first key
     def _block_meta(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({"first": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+            # type the empty block from the real id dtype — a hardcoded
+            # string() conflicts with integer vertex ids at take_all
+            return pa.table(
+                {"first": pa.array([], t.schema.field("id").type),
+                 "n": pa.array([], pa.int64())}
+            )
         return pa.table({"first": [t["id"][0].as_py()], "n": [t.num_rows]})
 
     meta = sorted_ds.map_batches(_block_meta, batch_format="pyarrow", batch_size=None).take_all()
@@ -92,8 +107,10 @@ class VertexDict:
             self._broadcast_ref = ray.put(keys)
 
     @classmethod
-    def from_edges(cls, edges, src: str = "src", dst: str = "dst") -> "VertexDict":
-        mapping = build_dictionary(distinct_vertices(edges, src, dst))
+    def from_edges(cls, edges, src: str = "src", dst: str = "dst", nodes=None) -> "VertexDict":
+        """``nodes``: optional explicit nodes Dataset (``id`` column) whose
+        ids are included even when edge-free (isolated vertices)."""
+        mapping = build_dictionary(distinct_vertices(edges, src, dst, extra_ids=nodes))
         return cls(mapping, mapping.count())
 
     def encode_edges(self, edges, cols=("src", "dst")):

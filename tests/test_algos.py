@@ -146,3 +146,68 @@ def test_triangles_pages(pages_graph):
     got = tc.triangles_.to_pandas().set_index("id")["triangles"].to_dict()
     want = oracle_triangles(df)
     assert got == dict(want)
+
+
+def test_triangles_join_orientation_path(ray_session, monkeypatch):
+    """The > BROADCAST_MAX_VERTICES orientation path (two hash joins, no
+    driver degree array) must match the broadcast path / nx oracle."""
+    import mercury_graph_ray.algos.triangles as tri_mod
+
+    df = pd.DataFrame(
+        {
+            "src": ["a", "b", "c", "c", "a", "d", "b", "e"],
+            "dst": ["b", "c", "a", "d", "b", "a", "d", "a"],
+        }
+    )
+    monkeypatch.setattr(tri_mod, "BROADCAST_MAX_VERTICES", 2)
+    tc = TriangleCount(n_parts=4).fit(Graph(df))
+    got = tc.triangles_.to_pandas().set_index("id")["triangles"].to_dict()
+    want = oracle_triangles(df.assign(weight=1.0))
+    assert got == dict(want)
+    assert tc.total_ == sum(want.values()) // 3
+
+
+def test_isolated_nodes_full_node_set(ray_session):
+    """ADVICE: explicit nodes tables with edge-free vertices — PageRank N
+    includes them (reference runs nx over the full node set) and CC emits
+    singleton components."""
+    df = toy_edges()
+    node_ids = sorted(set(df["src"]) | set(df["dst"]) | {"iso1", "iso2"})
+    nodes = pd.DataFrame({"id": node_ids})
+
+    g = Graph(df, nodes=nodes)
+    pr = PageRank(n_parts=4).fit(g)
+    got = pr.pagerank_.to_pandas().set_index("id")["rank"].to_dict()
+    import networkx as nx
+    from networkx.algorithms.link_analysis.pagerank_alg import _pagerank_python
+
+    from tests.oracles import nx_digraph
+
+    nxg = nx_digraph(df)
+    nxg.add_nodes_from(["iso1", "iso2"])
+    want = _pagerank_python(nxg)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-6
+
+    g2 = Graph(df, nodes=nodes)
+    cc = ConnectedComponents(n_parts=4).fit(g2)
+    comps = cc.components_.to_pandas().set_index("id")
+    assert comps.loc["iso1", "component"] == "iso1"
+    assert comps.loc["iso1", "component_size"] == 1
+    assert comps.loc["iso2", "component_size"] == 1
+    want_cc = oracle_components(df)
+    for vid, (cid, size) in want_cc.items():
+        assert comps.loc[vid, "component"] == cid
+        assert comps.loc[vid, "component_size"] == size
+
+    g3 = Graph(df, nodes=nodes)
+    lp = LabelPropagation(n_parts=4, max_iter=10).fit(g3)
+    labels = lp.labels_.to_pandas().set_index("id")["label"].to_dict()
+    assert labels["iso1"] == "iso1" and labels["iso2"] == "iso2"
+
+    g4 = Graph(df.drop(columns=["weight"]), nodes=nodes)
+    tc = TriangleCount(n_parts=4).fit(g4)
+    tri = tc.triangles_.to_pandas().set_index("id")["triangles"].to_dict()
+    assert tri["iso1"] == 0 and tri["iso2"] == 0
+    assert set(tri) == set(node_ids)
