@@ -1,4 +1,4 @@
-"""Connected components — min-label propagation on the GAS engine.
+"""Connected components — min-label propagation on the BSP engine.
 
 Reference semantics (mercury/graph/core/graph.py:692-720, SURVEY.md §2.9):
 directed graphs are first converted undirected, each node gets
@@ -8,11 +8,15 @@ enumeration index and its tests assert only membership + sizes
 ``component = min vertex id in the component`` (in original key space),
 which min-label propagation converges to naturally.
 
-Superstep: scatter emits the per-destination minimum of the neighbors'
-labels (pre-combined per source partition via sort+reduceat) plus a self
-row carrying the old label; gather takes the running minimum and counts
-changes. Converges in O(diameter) supersteps; the driver only sees the
-changed-vertex count scalar.
+Execution (stages/bsp.py): persistent partition actors; per superstep
+each actor emits the per-destination minimum of its local labels
+(sort+reduceat pre-combine — the hub-splitting partial), the receiving
+actor folds the P partial minima into its dense label vector
+(``label' = min(label, incoming)``) and returns only its changed-vertex
+count. Converges in O(diameter) supersteps; the driver moves scalars.
+
+Resume honors the manifest's ``converged`` flag (ADVICE: a finished run
+resumed with a smaller ``max_iter`` must not raise).
 """
 
 from __future__ import annotations
@@ -20,47 +24,60 @@ from __future__ import annotations
 import numpy as np
 
 from mercury_graph_ray.algos.common import prepare
-from mercury_graph_ray.stages.csr import CsrBlock
-from mercury_graph_ray.stages.gas import dense_from_group, segment_min
-
-NOVAL = np.uint64(0xFFFFFFFFFFFFFFFF)
+from mercury_graph_ray.stages.bsp import BspEngine, VertexProgram, split_by_dest_partition
 
 
-def _scatter(csr: CsrBlock, group: dict) -> dict:
-    p = csr.n_parts
-    lab_local = dense_from_group(group, "label", csr.n_local, p)
-    lab_edge = lab_local[csr.row_of_edge]
-    # min incoming label per distinct destination (partition-level combine)
-    dsts, mins = segment_min(csr.dst, lab_edge)
-    ids = np.asarray(group["id"], np.uint64)
-    dst = np.concatenate([dsts, ids])
-    lab = np.concatenate([mins, np.asarray(group["label"], np.uint64)])
-    old = np.concatenate([np.full(len(dsts), NOVAL, np.uint64), np.asarray(group["label"], np.uint64)])
-    gpart = (dst % np.uint64(p)).astype(np.int64)
-    return {"gpart": gpart, "dst": dst, "lab": lab, "old": old}
+class _CcProgram(VertexProgram):
+    state_columns = ("label",)
 
+    def prepare(self, csr):
+        idx, local = split_by_dest_partition(csr.uniq_dst, csr.n_parts)
+        # static edge ordering grouped by destination (for reduceat minima)
+        order = np.argsort(csr.dst_inv, kind="stable").astype(np.int64)
+        starts = np.searchsorted(csr.dst_inv[order], np.arange(len(csr.uniq_dst)))
+        return (idx, local, order, starts)
 
-def _make_gather(p: int):
-    def _gather(part: int, n_local: int, ids: np.ndarray, group: dict) -> dict:
-        dst = np.asarray(group["dst"], np.uint64)
-        lab = np.asarray(group["lab"], np.uint64)
-        old = np.asarray(group["old"], np.uint64)
-        local = (dst // np.uint64(p)).astype(np.int64)
-        acc = np.full(n_local, NOVAL, np.uint64)
-        uniq_local, mins = segment_min(local, lab)
-        acc[uniq_local] = mins
-        old_vec = np.empty(n_local, np.uint64)
-        self_mask = old != NOVAL
-        old_vec[local[self_mask]] = old[self_mask]
-        changed = acc != old_vec
-        return {
-            "id": ids,
-            "part": np.full(n_local, part, np.int64),
-            "label": acc,
-            "changed": changed.astype(np.int64),
-        }
+    def scatter_meta(self, csr, cache):
+        # message destinations are the static unique-dst set -> exchange
+        # local row ids once; per-superstep payloads carry minima only
+        idx, local, order, starts = cache
+        return local
 
-    return _gather
+    def prepare_recv(self, csr, cache, metas):
+        li = np.concatenate(metas) if metas else np.array([], np.int64)
+        li = li.astype(np.int64, copy=False)
+        # static combine plan: sorted order + segment boundaries, so the
+        # per-superstep fold is a single reduceat (no per-superstep sort)
+        order = np.argsort(li, kind="stable")
+        ls = li[order]
+        starts = np.flatnonzero(np.concatenate([[True], ls[1:] != ls[:-1]])) if len(ls) else ls
+        uniq_local = ls[starts] if len(ls) else ls
+        return {"order": order, "starts": starts, "uniq_local": uniq_local}
+
+    def init(self, csr, cache) -> dict:
+        ids = np.arange(csr.part, csr.n_vertices, csr.n_parts, dtype=np.uint64)
+        return {"label": ids}
+
+    def scatter(self, csr, state, cache) -> list:
+        idx, local, order, starts = cache
+        if len(order) == 0:
+            empty = np.array([], np.uint64)
+            return [empty for _ in range(csr.n_parts)]
+        lab_edge = state["label"][csr.row_of_edge][order]
+        mins = np.minimum.reduceat(lab_edge, starts)
+        return [mins[idx[q]] for q in range(csr.n_parts)]
+
+    def gather_apply(self, csr, state, payloads, cache, recv) -> dict:
+        old = state["label"]
+        lab = np.concatenate(payloads)
+        new = old.copy()
+        if len(lab):
+            mins = np.minimum.reduceat(lab[recv["order"]], recv["starts"])
+            ul = recv["uniq_local"]
+            new[ul] = np.minimum(new[ul], mins)
+        changed = int((new != old).sum())
+        state["label"] = new
+        return {"n_changed": changed}
 
 
 class ConnectedComponents:
@@ -76,6 +93,7 @@ class ConnectedComponents:
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 5,
         resume: bool = False,
+        actor_num_cpus: float | None = None,
     ):
         self.max_iter = max_iter
         self.n_parts = n_parts
@@ -83,6 +101,7 @@ class ConnectedComponents:
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
         self.resume = resume
+        self.actor_num_cpus = actor_num_cpus
 
     def fit(self, g) -> "ConnectedComponents":
         from ray.data.aggregate import Count
@@ -90,51 +109,49 @@ class ConnectedComponents:
         from mercury_graph_ray.state.checkpoint import CheckpointManager
 
         vd, gas = prepare(g, symmetrize=True, n_parts=self.n_parts, workdir=self.workdir)
-        import pyarrow as pa
-
-        gather = _make_gather(gas.p)
-        schema = {
-            "id": pa.uint64(),
-            "part": pa.int64(),
-            "label": pa.uint64(),
-            "changed": pa.int64(),
-        }
+        engine = BspEngine(gas, _CcProgram(), actor_num_cpus=self.actor_num_cpus)
 
         ckpt = None
         if self.checkpoint_dir:
             ckpt = CheckpointManager(
                 self.checkpoint_dir, "cc", fingerprint={"n": gas.n, "p": gas.p}
             )
-        start_iter, state = 0, None
+        start_iter = 0
+        converged = False
         if ckpt and self.resume:
             found = ckpt.latest()
             if found is not None:
-                start_iter = found[0]
-                state = ckpt.load(start_iter)
-        if state is None:
-            state = gas.init_state({"label": lambda ids: ids.copy()})
+                start_iter, manifest = found
+                engine.load_checkpoint(ckpt, start_iter)
+                m = manifest.get("metrics", {})
+                converged = bool(m.get("converged", False)) or m.get("n_changed") == 0
 
         it = start_iter
-        for it in range(start_iter + 1, self.max_iter + 1):
-            state = gas.superstep(state, _scatter, gather, state_schema=schema)
-            n_changed = state.sum("changed")
-            if ckpt and (it % self.checkpoint_every == 0):
-                ckpt.save(it, state, {"n_changed": int(n_changed), "n_iter": it})
-            if n_changed == 0:
-                break
-        else:
-            raise RuntimeError(f"connected components did not converge in {self.max_iter} iters")
+        if not converged:
+            for it in range(start_iter + 1, self.max_iter + 1):
+                metrics = engine.superstep()
+                n_changed = int(sum(m["n_changed"] for m in metrics))
+                if ckpt and (it % self.checkpoint_every == 0):
+                    engine.save_checkpoint(ckpt, it, {"n_changed": n_changed, "n_iter": it})
+                if n_changed == 0:
+                    converged = True
+                    break
+            if not converged:
+                raise RuntimeError(
+                    f"connected components did not converge in {self.max_iter} iters"
+                )
         if ckpt:
-            ckpt.save(it, state, {"n_changed": 0, "n_iter": it, "converged": True})
+            engine.save_checkpoint(ckpt, it, {"n_changed": 0, "n_iter": it, "converged": True})
         self.n_iter_ = it
 
         import pyarrow as pa
 
         from mercury_graph_ray.stages.util import ensure_schema
 
-        # int64 label: Ray's hash-join requires exactly matching key types
-        # (groupby outputs int64 keys); ensure_schema also scrubs the
-        # schema-less empty blocks that would break the acero join.
+        state = engine.state_dataset()
+        engine.shutdown()
+        # int64 label: Ray groupby outputs int64 keys; ensure_schema also
+        # scrubs schema-less empty blocks that would break later joins.
         labels = ensure_schema(
             state.select_columns(["id", "label"]),
             {"id": pa.uint64(), "label": pa.int64()},

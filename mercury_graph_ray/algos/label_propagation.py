@@ -1,4 +1,4 @@
-"""Synchronous label propagation (community detection surface).
+"""Synchronous label propagation (community detection surface) — BSP.
 
 The north rule names "label propagation"; the reference's community
 surface is Louvain/Spectral (SURVEY.md scope note #1), so the LPA
@@ -15,11 +15,14 @@ propagation"):
   (synchronous LPA can oscillate on bipartite-ish structures, so
   non-convergence at the cap is recorded, not raised).
 
-Dataflow: scatter pre-combines (destination, label) weight sums per
-source partition (lexsort+reduceat — the hub-splitting partial combine);
-gather merges partials, then takes the per-destination argmax with the
-first-max-wins rule over label-ascending segments (vectorized, no
-per-vertex Python).
+Execution (stages/bsp.py): persistent partition actors. Scatter
+pre-combines (destination, label) weight sums per source partition
+(lexsort+reduceat — the hub-splitting partial combine) and routes them by
+destination partition; gather merges the P partials plus one zero-weight
+self row per vertex (so every vertex has a candidate row), then takes the
+per-destination argmax with the first-max-wins rule over label-ascending
+segments — identical numerics to the round-1 Dataset-engine gather, minus
+the two shuffle jobs per superstep.
 """
 
 from __future__ import annotations
@@ -27,42 +30,44 @@ from __future__ import annotations
 import numpy as np
 
 from mercury_graph_ray.algos.common import prepare
-from mercury_graph_ray.stages.csr import CsrBlock
-from mercury_graph_ray.stages.gas import dense_from_group, segment_sum_2key
-
-NOVAL = np.uint64(0xFFFFFFFFFFFFFFFF)
+from mercury_graph_ray.stages.bsp import BspEngine, VertexProgram
+from mercury_graph_ray.stages.gas import segment_sum_2key
 
 
-def _scatter(csr: CsrBlock, group: dict) -> dict:
-    p = csr.n_parts
-    lab_local = dense_from_group(group, "label", csr.n_local, p)
-    lab_edge = lab_local[csr.row_of_edge]
-    dsts, labs, wsums = segment_sum_2key(csr.dst, lab_edge, csr.weight)
-    ids = np.asarray(group["id"], np.uint64)
-    own = np.asarray(group["label"], np.uint64)
-    dst = np.concatenate([dsts, ids])
-    lab = np.concatenate([labs, own])
-    w = np.concatenate([wsums, np.zeros(len(ids))])
-    old = np.concatenate([np.full(len(dsts), NOVAL, np.uint64), own])
-    gpart = (dst % np.uint64(p)).astype(np.int64)
-    return {"gpart": gpart, "dst": dst, "lab": lab, "w": w, "old": old}
+class _LpaProgram(VertexProgram):
+    state_columns = ("label",)
 
+    def init(self, csr, cache) -> dict:
+        ids = np.arange(csr.part, csr.n_vertices, csr.n_parts, dtype=np.uint64)
+        return {"label": ids}
 
-def _make_gather(p: int):
-    def _gather(part: int, n_local: int, ids: np.ndarray, group: dict) -> dict:
-        dst = np.asarray(group["dst"], np.uint64)
-        lab = np.asarray(group["lab"], np.uint64)
-        w = np.asarray(group["w"], np.float64)
-        old = np.asarray(group["old"], np.uint64)
+    def scatter(self, csr, state, cache) -> list:
+        p = csr.n_parts
+        lab_edge = state["label"][csr.row_of_edge]
+        dsts, labs, wsums = segment_sum_2key(csr.dst, lab_edge, csr.weight)
+        # (dst, label) keys change every superstep -> dynamic split by
+        # destination partition (stable sort keeps dst-ascending order
+        # within each partition, which the gather's reduceat relies on)
+        qs = (dsts % np.uint64(p)).astype(np.int64)
+        order = np.argsort(qs, kind="stable")
+        qsorted = qs[order]
+        starts = np.searchsorted(qsorted, np.arange(p))
+        ends = np.searchsorted(qsorted, np.arange(p), side="right")
+        out = []
+        for q in range(p):
+            ix = order[starts[q]:ends[q]]
+            out.append(((dsts[ix] // np.uint64(p)).astype(np.int64), labs[ix], wsums[ix]))
+        return out
 
-        old_vec = np.empty(n_local, np.uint64)
-        self_mask = old != NOVAL
-        old_vec[(dst[self_mask] // np.uint64(p)).astype(np.int64)] = old[self_mask]
-
-        local = (dst // np.uint64(p)).astype(np.int64)
-        # merge cross-partition partials: per (dst, label) total weight,
-        # sorted by (dst asc, label asc)
-        ml, mlab, mw = segment_sum_2key(local, lab, w)
+    def gather_apply(self, csr, state, payloads, cache, recv) -> dict:
+        old = state["label"]
+        n_local = csr.n_local
+        # one zero-weight self row per vertex: every vertex has a candidate
+        # and an isolated vertex keeps its own label (frozen round-1 rule)
+        li = np.concatenate([p[0] for p in payloads] + [np.arange(n_local, dtype=np.int64)])
+        lab = np.concatenate([p[1] for p in payloads] + [old])
+        w = np.concatenate([p[2] for p in payloads] + [np.zeros(n_local)])
+        ml, mlab, mw = segment_sum_2key(li, lab.astype(np.uint64), w)
         # per-dst argmax, first max wins -> smallest label on ties
         seg_starts = np.flatnonzero(np.concatenate([[True], ml[1:] != ml[:-1]]))
         seg_id = np.cumsum(np.concatenate([[0], (ml[1:] != ml[:-1]).astype(np.int64)]))
@@ -71,17 +76,11 @@ def _make_gather(p: int):
         row_idx = np.arange(len(ml), dtype=np.int64)
         big = len(ml)
         first_max = np.minimum.reduceat(np.where(is_max, row_idx, big), seg_starts)
-        new_lab_vec = old_vec.copy()  # vertices with no rows keep own label
-        new_lab_vec[ml[seg_starts]] = mlab[first_max]
-        changed = new_lab_vec != old_vec
-        return {
-            "id": ids,
-            "part": np.full(n_local, part, np.int64),
-            "label": new_lab_vec,
-            "changed": changed.astype(np.int64),
-        }
-
-    return _gather
+        new = old.copy()
+        new[ml[seg_starts]] = mlab[first_max]
+        changed = int((new != old).sum())
+        state["label"] = new
+        return {"n_changed": changed}
 
 
 class LabelPropagation:
@@ -97,6 +96,7 @@ class LabelPropagation:
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 5,
         resume: bool = False,
+        actor_num_cpus: float | None = None,
     ):
         self.max_iter = max_iter
         self.n_parts = n_parts
@@ -104,48 +104,44 @@ class LabelPropagation:
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
         self.resume = resume
+        self.actor_num_cpus = actor_num_cpus
 
     def fit(self, g) -> "LabelPropagation":
         from mercury_graph_ray.state.checkpoint import CheckpointManager
 
         vd, gas = prepare(g, symmetrize=True, n_parts=self.n_parts, workdir=self.workdir)
-        import pyarrow as pa
-
-        gather = _make_gather(gas.p)
-        schema = {
-            "id": pa.uint64(),
-            "part": pa.int64(),
-            "label": pa.uint64(),
-            "changed": pa.int64(),
-        }
+        engine = BspEngine(gas, _LpaProgram(), actor_num_cpus=self.actor_num_cpus)
 
         ckpt = None
         if self.checkpoint_dir:
             ckpt = CheckpointManager(
                 self.checkpoint_dir, "lpa", fingerprint={"n": gas.n, "p": gas.p}
             )
-        start_iter, state = 0, None
+        start_iter = 0
+        self.converged_ = False
         if ckpt and self.resume:
             found = ckpt.latest()
             if found is not None:
-                start_iter = found[0]
-                state = ckpt.load(start_iter)
-        if state is None:
-            state = gas.init_state({"label": lambda ids: ids.copy()})
+                start_iter, manifest = found
+                engine.load_checkpoint(ckpt, start_iter)
+                m = manifest.get("metrics", {})
+                self.converged_ = bool(m.get("converged", False)) or m.get("n_changed") == 0
 
-        self.converged_ = False
         it = start_iter
-        for it in range(start_iter + 1, self.max_iter + 1):
-            state = gas.superstep(state, _scatter, gather, state_schema=schema)
-            n_changed = state.sum("changed")
-            if ckpt and (it % self.checkpoint_every == 0):
-                ckpt.save(it, state, {"n_changed": int(n_changed), "n_iter": it})
-            if n_changed == 0:
-                self.converged_ = True
-                break
+        if not self.converged_:
+            for it in range(start_iter + 1, self.max_iter + 1):
+                metrics = engine.superstep()
+                n_changed = int(sum(m["n_changed"] for m in metrics))
+                if ckpt and (it % self.checkpoint_every == 0):
+                    engine.save_checkpoint(ckpt, it, {"n_changed": n_changed, "n_iter": it})
+                if n_changed == 0:
+                    self.converged_ = True
+                    break
         if ckpt:
-            ckpt.save(it, state, {"n_iter": it, "converged": self.converged_})
+            engine.save_checkpoint(ckpt, it, {"n_iter": it, "converged": self.converged_})
         self.n_iter_ = it
+        state = engine.state_dataset()
+        engine.shutdown()
         labels = state.select_columns(["id", "label"])
         out = vd.decode(labels, col="id")
         self.labels_ = vd.decode(out, col="label")

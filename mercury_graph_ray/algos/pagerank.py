@@ -1,4 +1,4 @@
-"""PageRank — networkx-path semantics of the reference, on the GAS engine.
+"""PageRank — networkx-path semantics of the reference, on the BSP engine.
 
 Reference contract (mercury/graph/core/graph.py:681-690 -> ``nx.pagerank``
 defaults, SURVEY.md §2.9): alpha=0.85, uniform teleport and uniform
@@ -7,16 +7,24 @@ out-weight, power iteration from x0=1/N, L1 stopping rule
 ``err < N * tol`` with tol=1e-6, scores sum to 1; raises after
 ``max_iter`` without convergence (nx.PowerIterationFailedConvergence).
 
-Dataflow per superstep (stages/gas.py): scatter emits per-destination
-pre-combined contributions ``rank[src] * w/Σw_out(src)``, one self row per
-vertex carrying the old rank, and P sentinel rows broadcasting the
-partition's dangling-rank partial to every gather partition (so the
-global dangling mass D is exact everywhere without a driver round-trip);
-gather bincounts contributions into the dense local vector and applies
+Execution (stages/bsp.py): P persistent partition actors each hold their
+static CSR block and dense rank vector. Per superstep each actor emits P
+pre-combined per-destination contribution payloads (plus its dangling-rank
+partial, so the global dangling mass is exact everywhere without a driver
+round-trip), then applies
 
     rank' = (1-α)/N + α · (Σ contrib + D/N)
 
-The driver loop only moves scalars (the L1 residual) per superstep.
+and returns only its L1-residual partial — the driver moves scalars, the
+convergence check costs no extra job, and the per-superstep floor is two
+actor-call rounds instead of two Ray Data shuffle jobs (the round-1
+scaling bottleneck, VERDICT "Next round" #2).
+
+Checkpoints: every ``checkpoint_every`` supersteps each actor writes its
+partition (``state/part=<p>/data.parquet``) and the driver commits the
+manifest; ``resume=True`` loads the newest complete manifest — honoring
+its ``converged`` flag (a finished run resumed with a smaller ``max_iter``
+returns the loaded state instead of raising).
 """
 
 from __future__ import annotations
@@ -24,59 +32,62 @@ from __future__ import annotations
 import numpy as np
 
 from mercury_graph_ray.algos.common import prepare
-from mercury_graph_ray.stages.csr import CsrBlock
-from mercury_graph_ray.stages.gas import dense_from_group
-
-SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+from mercury_graph_ray.stages.bsp import BspEngine, VertexProgram, split_by_dest_partition
 
 
 class PowerIterationFailedConvergence(RuntimeError):
     pass
 
 
-def _scatter(csr: CsrBlock, group: dict) -> dict:
-    p = csr.n_parts
-    r_local = dense_from_group(group, "rank", csr.n_local, p)
-    contrib_edge = r_local[csr.row_of_edge] * csr.w_norm
-    sums = np.bincount(csr.dst_inv, weights=contrib_edge, minlength=len(csr.uniq_dst))
-    d_partial = float(r_local[csr.dangling].sum())
+class _PageRankProgram(VertexProgram):
+    state_columns = ("rank",)
 
-    n_u, n_s = len(csr.uniq_dst), len(group["id"])
-    dst = np.concatenate([csr.uniq_dst, group["id"], np.full(p, SENTINEL, np.uint64)])
-    contrib = np.concatenate([sums, np.zeros(n_s), np.full(p, d_partial)])
-    old = np.concatenate([np.full(n_u, np.nan), group["rank"], np.full(p, np.nan)])
-    gpart = np.concatenate(
-        [
-            (csr.uniq_dst % np.uint64(p)).astype(np.int64),
-            np.asarray(group["part"], np.int64),
-            np.arange(p, dtype=np.int64),
-        ]
-    )
-    return {"gpart": gpart, "dst": dst, "contrib": contrib, "old": old}
+    def __init__(self, n: int, alpha: float):
+        self.n = n
+        self.alpha = alpha
 
+    def prepare(self, csr):
+        # static destination grouping: which unique dsts go to which
+        # partition, and their local rows there — computed once
+        return split_by_dest_partition(csr.uniq_dst, csr.n_parts)
 
-def _make_gather(n: int, p: int, alpha: float):
-    def _gather(part: int, n_local: int, ids: np.ndarray, group: dict) -> dict:
-        dst = np.asarray(group["dst"], np.uint64)
-        contrib = np.asarray(group["contrib"], np.float64)
-        old = np.asarray(group["old"], np.float64)
-        sent = dst == SENTINEL
-        d_total = float(contrib[sent].sum())
-        dstn, contribn, oldn = dst[~sent], contrib[~sent], old[~sent]
-        local = (dstn // np.uint64(p)).astype(np.int64)
-        acc = np.bincount(local, weights=contribn, minlength=n_local)
-        old_vec = np.empty(n_local, np.float64)
-        self_mask = ~np.isnan(oldn)
-        old_vec[local[self_mask]] = oldn[self_mask]
-        rank = (1.0 - alpha) / n + alpha * (acc + d_total / n)
-        return {
-            "id": ids,
-            "part": np.full(n_local, part, np.int64),
-            "rank": rank,
-            "resid": np.abs(rank - old_vec),
-        }
+    def scatter_meta(self, csr, cache):
+        # destinations are static -> ship local row ids once at setup
+        idx, local = cache
+        return local
 
-    return _gather
+    def prepare_recv(self, csr, cache, metas):
+        li = (
+            np.concatenate(metas)
+            if metas
+            else np.array([], np.int64)
+        )
+        return li.astype(np.int64, copy=False)
+
+    def init(self, csr, cache) -> dict:
+        return {"rank": np.full(csr.n_local, 1.0 / self.n, np.float64)}
+
+    def scatter(self, csr, state, cache) -> list:
+        idx, local = cache
+        r = state["rank"]
+        contrib_edge = r[csr.row_of_edge] * csr.w_norm
+        sums = np.bincount(csr.dst_inv, weights=contrib_edge, minlength=len(csr.uniq_dst))
+        d_partial = float(r[csr.dangling].sum())
+        return [(sums[idx[q]], d_partial) for q in range(csr.n_parts)]
+
+    def gather_apply(self, csr, state, payloads, cache, recv) -> dict:
+        n_local = csr.n_local
+        d_total = float(sum(p[1] for p in payloads))
+        c = np.concatenate([p[0] for p in payloads])
+        acc = (
+            np.bincount(recv, weights=c, minlength=n_local)
+            if len(c)
+            else np.zeros(n_local, np.float64)
+        )
+        new = (1.0 - self.alpha) / self.n + self.alpha * (acc + d_total / self.n)
+        resid = float(np.abs(new - state["rank"]).sum())
+        state["rank"] = new
+        return {"resid": resid}
 
 
 class PageRank:
@@ -94,6 +105,8 @@ class PageRank:
         checkpoint_dir: str | None = None,
         checkpoint_every: int = 5,
         resume: bool = False,
+        actor_num_cpus: float | None = None,
+        strict: bool = True,
     ):
         self.alpha = alpha
         self.tol = tol
@@ -103,21 +116,19 @@ class PageRank:
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = checkpoint_every
         self.resume = resume
+        self.actor_num_cpus = actor_num_cpus
+        # strict=False: record converged_=False at max_iter instead of
+        # raising (bench mode: fixed-superstep throughput runs)
+        self.strict = strict
 
     def fit(self, g) -> "PageRank":
         from mercury_graph_ray.state.checkpoint import CheckpointManager
 
-        import pyarrow as pa
-
         vd, gas = prepare(g, symmetrize=not g.directed, n_parts=self.n_parts, workdir=self.workdir)
         n = gas.n
-        gather = _make_gather(n, gas.p, self.alpha)
-        schema = {
-            "id": pa.uint64(),
-            "part": pa.int64(),
-            "rank": pa.float64(),
-            "resid": pa.float64(),
-        }
+        engine = BspEngine(
+            gas, _PageRankProgram(n, self.alpha), actor_num_cpus=self.actor_num_cpus
+        )
 
         ckpt = None
         if self.checkpoint_dir:
@@ -128,33 +139,47 @@ class PageRank:
             )
 
         start_iter = 0
-        state = None
+        err = float("inf")
+        converged = False
         if ckpt and self.resume:
             found = ckpt.latest()
             if found is not None:
-                start_iter = found[0]
-                state = ckpt.load(start_iter)
-        if state is None:
-            state = gas.init_state({"rank": lambda ids: np.full(len(ids), 1.0 / n)})
+                start_iter, manifest = found
+                engine.load_checkpoint(ckpt, start_iter)
+                m = manifest.get("metrics", {})
+                err = float(m.get("err", err))
+                # honor the manifest's converged flag (ADVICE: a converged
+                # run resumed with start_iter >= max_iter must not raise)
+                converged = bool(m.get("converged", False)) or err < n * self.tol
 
-        err = float("inf")
+        import time
+
         it = start_iter
-        for it in range(start_iter + 1, self.max_iter + 1):
-            state = gas.superstep(state, _scatter, gather, state_schema=schema)
-            err = state.sum("resid")
-            if ckpt and (it % self.checkpoint_every == 0):
-                ckpt.save(it, state, {"err": err, "n_iter": it})
-            if err < n * self.tol:
-                break
-        else:
-            raise PowerIterationFailedConvergence(
-                f"pagerank failed to converge in {self.max_iter} iterations (err={err})"
-            )
+        t_loop = time.perf_counter()
+        if not converged:
+            for it in range(start_iter + 1, self.max_iter + 1):
+                metrics = engine.superstep()
+                err = float(sum(m["resid"] for m in metrics))
+                if ckpt and (it % self.checkpoint_every == 0):
+                    engine.save_checkpoint(ckpt, it, {"err": err, "n_iter": it})
+                if err < n * self.tol:
+                    converged = True
+                    break
+            if not converged and self.strict:
+                raise PowerIterationFailedConvergence(
+                    f"pagerank failed to converge in {self.max_iter} iterations (err={err})"
+                )
+        self.loop_secs_ = time.perf_counter() - t_loop
+        self.superstep_secs_ = self.loop_secs_ / max(1, it - start_iter)
+        self.converged_ = converged
         if ckpt:
-            ckpt.save(it, state, {"err": err, "n_iter": it, "converged": True})
+            engine.save_checkpoint(
+                ckpt, it, {"err": err, "n_iter": it, "converged": converged}
+            )
 
         self.n_iter_ = it
         self.err_ = err
-        self.pagerank_raw_ = state.select_columns(["id", "rank"])
+        self.pagerank_raw_ = engine.state_dataset().select_columns(["id", "rank"])
         self.pagerank_ = vd.decode(self.pagerank_raw_)
+        engine.shutdown()
         return self

@@ -324,14 +324,13 @@ def docs_token_stats(sf_dir: str):
 
 def docs_exact_dedup(sf_dir: str):
     """Exact dedup groups: keeper (min doc_id) + duplicate count per
-    distinct text. Hash-partition on the text; one shuffle."""
-    from ray.data.aggregate import Count, Min
+    distinct text, via the hashed stage (stages/dedup.exact_dedup) — the
+    shuffle is keyed on a 128-bit content hash, never the raw corpus text
+    (VERDICT round 1, item 8)."""
+    from mercury_graph_ray.stages.dedup import exact_dedup
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.groupby("text").aggregate(
-        Min("doc_id", alias_name="keeper"), Count(alias_name="n_copies")
-    )
-    df = out.to_pandas()[["keeper", "n_copies"]]
+    df = exact_dedup(ds).to_pandas()[["keeper", "n_copies"]]
     return df.sort_values("keeper").reset_index(drop=True)
 
 

@@ -112,6 +112,35 @@ class MinHasher:
         )
 
 
+def _member_map(ds, text_col: str, id_col: str):
+    """(doc, rep) Dataset: rep = min doc id among docs with identical
+    content (the exact-duplicate pre-collapse)."""
+
+    def _hash(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc": batch[id_col].to_numpy(np.int64),
+                "content_hash": [
+                    hashlib.blake2b(t.encode(), digest_size=16).hexdigest()
+                    for t in batch[text_col].fillna("")
+                ],
+            }
+        )
+
+    def _groups(g: dict) -> dict:
+        docs = np.sort(np.asarray(g["doc"], np.int64))
+        return {"doc": docs, "rep": np.full(len(docs), docs[0], np.int64)}
+
+    from mercury_graph_ray.stages.util import ensure_schema
+
+    return ensure_schema(
+        ds.map_batches(_hash, batch_format="pandas")
+        .groupby("content_hash")
+        .map_groups(_groups, batch_format="numpy"),
+        {"doc": pa.int64(), "rep": pa.int64()},
+    ).materialize()
+
+
 def minhash_lsh_pairs(
     ds,
     *,
@@ -126,35 +155,63 @@ def minhash_lsh_pairs(
 ):
     """Near-duplicate pairs (a < b, est_jaccard >= threshold).
 
-    shingle->minhash (actor pool) -> band explode -> groupby(band, hash)
-    -> within-bucket pairs -> signature-estimated Jaccard verify."""
-    import ray
+    Fully distributed (no driver materialization, VERDICT round 1 #4):
+
+    1. exact-duplicate pre-collapse — identical texts map to one
+       representative (min id), bounding the LSH buckets' O(n²) against
+       degenerate many-identical-copies inputs;
+    2. shingle -> minhash (actor pool) over representatives only;
+    3. band explode -> groupby(band, bhash) -> within-bucket pairs ->
+       pair dedup (candidates, representative space);
+    4. verify by TWO hash joins of candidates against the signature
+       Dataset (a-side then b-side) — est Jaccard from the joined
+       signatures, no signature broadcast;
+    5. expand representative pairs back to member pairs via the (doc,
+       rep) map (two joins) and add the within-group identical pairs
+       (est 1.0), reproducing the uncollapsed output exactly.
+    """
+    from mercury_graph_ray.stages.join import hash_join
+    from mercury_graph_ray.stages.util import ensure_schema, rename_cols
 
     rows_per_band = num_perm // bands
-    sigs = ds.map_batches(
+    sig_type = pa.list_(pa.uint64(), num_perm)
+
+    members = _member_map(ds, text_col, id_col)
+    rep_ids = ensure_schema(
+        members.map_batches(
+            lambda t: t.filter(pa.compute.equal(t["doc"], t["rep"])).select(["doc"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        {"doc": pa.int64()},
+    )
+    docs_small = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc": t[id_col].cast(pa.int64()),
+                text_col: t[text_col],
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    reps_docs = hash_join(docs_small, rep_ids, on=("doc",), num_buckets=32)
+
+    sigs = reps_docs.map_batches(
         MinHasher,
         fn_constructor_kwargs={
             "num_perm": num_perm,
             "shingle_k": shingle_k,
             "seed": seed,
             "text_col": text_col,
-            "id_col": id_col,
+            "id_col": "doc",
         },
         batch_format="pandas",
         concurrency=concurrency,
     ).materialize()
 
-    # broadcast signature matrix for the verify step (test scale; at 1e12
-    # docs this becomes a join of the candidate list against `sigs`)
-    sig_tbl = sigs.to_pandas()
-    ids_arr = sig_tbl[id_col].to_numpy(np.int64)
-    order = np.argsort(ids_arr)
-    sig_mat = np.stack(sig_tbl["sig"].to_numpy())[order]
-    ids_sorted = ids_arr[order]
-    sig_ref = ray.put((ids_sorted, sig_mat))
-
     def _bands(t: pa.Table) -> pa.Table:
-        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = t["doc"].combine_chunks().to_numpy(zero_copy_only=False)
         sig = np.stack(t["sig"].to_pylist()).astype(np.uint64)
         n = len(ids)
         band_ids = np.tile(np.arange(bands, dtype=np.int64), n)
@@ -177,21 +234,38 @@ def minhash_lsh_pairs(
         ii, jj = np.triu_indices(len(docs), k=1)
         return {"a": docs[ii], "b": docs[jj]}
 
-    cand = (
-        sigs.map_batches(_bands, batch_format="pyarrow")
+    cand = ensure_schema(
+        sigs.map_batches(_bands, batch_format="pyarrow", batch_size=None)
         .groupby(["band", "bhash"])
         .map_groups(_bucket_pairs, batch_format="numpy")
         .groupby(["a", "b"])
-        .map_groups(lambda g: {"a": g["a"][:1], "b": g["b"][:1]}, batch_format="numpy")
+        .map_groups(lambda g: {"a": g["a"][:1], "b": g["b"][:1]}, batch_format="numpy"),
+        {"a": pa.int64(), "b": pa.int64()},
     )
 
-    def _verify(t: pa.Table) -> pa.Table:
-        ids_s, mat = ray.get(sig_ref)
+    # verify: join candidate pairs against the signature Dataset twice
+    sig_a = ensure_schema(
+        rename_cols(sigs, {"doc": "a", "sig": "sig_a"}),
+        {"a": pa.int64(), "sig_a": sig_type},
+    )
+    sig_b = ensure_schema(
+        rename_cols(sigs, {"doc": "b", "sig": "sig_b"}),
+        {"b": pa.int64(), "sig_b": sig_type},
+    )
+    v = hash_join(cand, sig_a, on=("a",), num_buckets=32)
+    v = hash_join(v, sig_b, on=("b",), num_buckets=32)
+
+    def _est(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "est_jaccard": pa.array([], pa.float64())}
+            )
         a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
         b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
-        ai = np.searchsorted(ids_s, a)
-        bi = np.searchsorted(ids_s, b)
-        est = (mat[ai] == mat[bi]).mean(axis=1)
+        ma = np.stack(t["sig_a"].to_pylist()).astype(np.uint64)
+        mb = np.stack(t["sig_b"].to_pylist()).astype(np.uint64)
+        est = (ma == mb).mean(axis=1)
         keep = est >= threshold
         return pa.table(
             {
@@ -201,7 +275,53 @@ def minhash_lsh_pairs(
             }
         )
 
-    return cand.map_batches(_verify, batch_format="pyarrow")
+    rep_pairs = ensure_schema(
+        v.map_batches(_est, batch_format="pyarrow", batch_size=None),
+        {"a": pa.int64(), "b": pa.int64(), "est_jaccard": pa.float64()},
+    )
+
+    # expand rep pairs to member pairs (distinct groups)
+    mem_a = ensure_schema(
+        rename_cols(members, {"rep": "a", "doc": "am"}),
+        {"am": pa.int64(), "a": pa.int64()},
+    )
+    mem_b = ensure_schema(
+        rename_cols(members, {"rep": "b", "doc": "bm"}),
+        {"bm": pa.int64(), "b": pa.int64()},
+    )
+    e1 = hash_join(rep_pairs, mem_a, on=("a",), num_buckets=32)
+    e2 = hash_join(e1, mem_b, on=("b",), num_buckets=32)
+
+    def _orient(t: pa.Table) -> pa.Table:
+        am = t["am"].combine_chunks().to_numpy(zero_copy_only=False)
+        bm = t["bm"].combine_chunks().to_numpy(zero_copy_only=False)
+        est = t["est_jaccard"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(am, bm)),
+                "b": pa.array(np.maximum(am, bm)),
+                "est_jaccard": pa.array(est),
+            }
+        )
+
+    expanded = e2.map_batches(_orient, batch_format="pyarrow", batch_size=None)
+
+    # within-group pairs: identical docs (est 1.0 by construction)
+    def _within(g: dict) -> dict:
+        docs = np.sort(np.asarray(g["doc"], np.int64))
+        if len(docs) < 2:
+            e = np.array([], np.int64)
+            return {"a": e, "b": e, "est_jaccard": np.array([], np.float64)}
+        ii, jj = np.triu_indices(len(docs), k=1)
+        return {"a": docs[ii], "b": docs[jj],
+                "est_jaccard": np.ones(len(ii), np.float64)}
+
+    within = ensure_schema(
+        members.groupby("rep").map_groups(_within, batch_format="numpy"),
+        {"a": pa.int64(), "b": pa.int64(), "est_jaccard": pa.float64()},
+    )
+    out_schema = {"a": pa.int64(), "b": pa.int64(), "est_jaccard": pa.float64()}
+    return ensure_schema(expanded, out_schema).union(within)
 
 
 # --------------------------------------------------------------- simhash

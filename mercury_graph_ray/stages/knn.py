@@ -79,13 +79,14 @@ class IvfIndex:
     """Inverted-file index: seeded-kmeans centroids + per-vector list
     assignment (one pass), probed with nprobe lists at query time."""
 
-    def __init__(self, centroids: np.ndarray, assigned):
+    def __init__(self, centroids: np.ndarray, index_dir: str):
         self.centroids = centroids  # (nlist, dim) unit rows
-        self.assigned = assigned  # materialized Dataset with `list_id`
+        self.index_dir = index_dir  # parquet partitioned by list_id
+        self.last_probe_paths_ = []  # partitions read by the last search
 
     @classmethod
     def build(cls, ds, *, nlist=16, sample=2048, iters=10, seed=42,
-              vec_col="embedding", id_col="vec_id"):
+              vec_col="embedding", id_col="vec_id", index_dir: str | None = None):
         import ray
 
         samp = ds.random_sample(1.0, seed=seed).limit(sample).to_pandas()
@@ -109,21 +110,46 @@ class IvfIndex:
             lid = np.argmax(vecs @ cm.T, axis=1).astype(np.int64)
             return t.append_column("list_id", pa.array(lid))
 
-        assigned = ds.map_batches(_assign, batch_format="pyarrow").materialize()
-        return cls(cent, assigned)
+        if index_dir is None:
+            import tempfile
+
+            index_dir = tempfile.mkdtemp(prefix="ivf_", dir="/tmp")
+        # the partitioned index on disk IS the scale artifact: a probe
+        # reads only its nprobe lists' partitions, never the full table
+        ds.map_batches(_assign, batch_format="pyarrow", batch_size=None).write_parquet(
+            index_dir, partition_cols=["list_id"], mode="overwrite"
+        )
+        return cls(cent, index_dir)
 
     def search(self, queries: np.ndarray, k=5, nprobe=4, *, vec_col="embedding",
                id_col="vec_id", query_ids=None):
+        import os
+
+        import ray.data as rd
+
         q_unit = _unit_rows(np.asarray(queries, np.float64))
         probe = np.argsort(-(q_unit @ self.centroids.T), axis=1)[:, :nprobe]
         lists = np.unique(probe)
-        lset = set(int(x) for x in lists)
-        cand = self.assigned.map_batches(
-            lambda t: t.filter(
-                pa.compute.is_in(t["list_id"], value_set=pa.array(sorted(lset)))
-            ),
-            batch_format="pyarrow",
+        import glob
+
+        dirs = [
+            os.path.join(self.index_dir, f"list_id={int(l)}")
+            for l in lists
+            if os.path.isdir(os.path.join(self.index_dir, f"list_id={int(l)}"))
+        ]
+        # read_parquet accepts a list of FILES, not of directories
+        paths = sorted(
+            f for d in dirs for f in glob.glob(os.path.join(d, "*.parquet"))
         )
+        self.last_probe_paths_ = paths
+        if not paths:
+            return pd.DataFrame(
+                {"query": pd.Series([], dtype=np.int64),
+                 id_col: pd.Series([], dtype=np.int64),
+                 "cosine": pd.Series([], dtype=np.float64),
+                 "rank": pd.Series([], dtype=np.int64)}
+            )
+        cand = rd.read_parquet(paths, columns=[id_col, vec_col])
         return brute_force_topk(
             cand, queries, k, vec_col=vec_col, id_col=id_col, query_ids=query_ids
         )

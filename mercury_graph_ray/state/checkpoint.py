@@ -34,13 +34,14 @@ class CheckpointManager:
     def _iter_dir(self, t: int) -> str:
         return os.path.join(self.dir, f"iter_{t:06d}")
 
-    def save(self, t: int, state, metrics: dict) -> None:
-        """Write state parquet (hive-partitioned by vertex partition) then
-        the manifest. Partial writes from a crash leave no manifest and are
-        overwritten on retry."""
+    # public alias (the BSP engine's actors write into this layout)
+    iter_dir = _iter_dir
+
+    def write_manifest(self, t: int, metrics: dict) -> None:
+        """Scan the written state dir for per-partition lineage and commit
+        the manifest (written LAST — the atomic completeness marker)."""
         d = self._iter_dir(t)
         data_dir = os.path.join(d, "state")
-        state.write_parquet(data_dir, partition_cols=["part"], mode="overwrite")
         parts = sorted(
             p for p in os.listdir(data_dir) if p.startswith("part=")
         )
@@ -59,6 +60,14 @@ class CheckpointManager:
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(d, "MANIFEST.json"))
+
+    def save(self, t: int, state, metrics: dict) -> None:
+        """Write state parquet (hive-partitioned by vertex partition) then
+        the manifest. Partial writes from a crash leave no manifest and are
+        overwritten on retry."""
+        data_dir = os.path.join(self._iter_dir(t), "state")
+        state.write_parquet(data_dir, partition_cols=["part"], mode="overwrite")
+        self.write_manifest(t, metrics)
 
     def latest(self) -> tuple[int, dict] | None:
         """Newest complete (iteration, manifest) with a matching fingerprint."""

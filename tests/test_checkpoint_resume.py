@@ -65,6 +65,23 @@ def test_pagerank_resume_identical(ray_session, tmp_path, chain_edges):
     assert mf["fingerprint"]["n"] == 40
 
 
+def test_resume_converged_with_smaller_max_iter(ray_session, tmp_path, chain_edges):
+    """ADVICE: resuming a CONVERGED run with start_iter >= max_iter must
+    honor the manifest's converged flag instead of raising."""
+    ck = str(tmp_path / "ck")
+    full = PageRank(n_parts=4, checkpoint_dir=ck, checkpoint_every=3).fit(Graph(chain_edges))
+    want = full.pagerank_.to_pandas().set_index("id")["rank"]
+    assert full.n_iter_ > 2
+
+    again = PageRank(n_parts=4, checkpoint_dir=ck, max_iter=2, resume=True).fit(
+        Graph(chain_edges)
+    )
+    got = again.pagerank_.to_pandas().set_index("id")["rank"]
+    assert again.n_iter_ == full.n_iter_
+    for k in want.index:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
 def test_cc_resume_exact(ray_session, tmp_path, chain_edges):
     ck = str(tmp_path / "ck")
     full = ConnectedComponents(n_parts=4).fit(Graph(chain_edges))

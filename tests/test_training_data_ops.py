@@ -125,6 +125,28 @@ def test_ivf_recall(ray_session):
     assert rec.recall.mean() >= 0.6  # nprobe=3 of nlist=8
 
 
+def test_ivf_partition_pruning(ray_session):
+    """A probe must read ONLY the nprobe lists' parquet partitions, not
+    the full table (VERDICT round 1 #7)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from mercury_graph_ray.stages.knn import IvfIndex
+
+    ds = rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx = IvfIndex.build(ds, nlist=8)
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]).to_pandas()
+    q = np.stack(tbl["embedding"].to_numpy()[:2]).astype(np.float64)
+    idx.search(q, k=5, nprobe=2, query_ids=np.array([0, 1]))
+    probed_lists = {p.split("list_id=")[1].split("/")[0] for p in idx.last_probe_paths_}
+    assert 0 < len(probed_lists) <= 4  # union of 2 queries x nprobe=2
+    import os
+
+    all_lists = [d for d in os.listdir(idx.index_dir) if d.startswith("list_id=")]
+    assert len(all_lists) > len(probed_lists)  # strictly pruned
+
+
 def test_text_stats(ray_session):
     import ray.data as rd
 
