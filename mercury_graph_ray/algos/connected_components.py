@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from mercury_graph_ray.base import BaseClass
 from mercury_graph_ray.algos.common import prepare
 from mercury_graph_ray.stages.bsp import BspEngine, VertexProgram, split_by_dest_partition
 
@@ -80,7 +81,7 @@ class _CcProgram(VertexProgram):
         return {"n_changed": changed}
 
 
-class ConnectedComponents:
+class ConnectedComponents(BaseClass):
     """``ConnectedComponents().fit(g)`` sets ``components_``: a Dataset of
     (id, component, component_size) in original key space, plus
     ``n_components_`` and ``n_iter_``."""

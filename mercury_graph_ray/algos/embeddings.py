@@ -28,6 +28,8 @@ import pickle
 
 import numpy as np
 
+from mercury_graph_ray.base import BaseClass
+
 FILE_HEAD = "mercury_graph_ray.GraphEmbedding.1.0"
 FILE_END = "end"
 
@@ -44,7 +46,7 @@ def _elliptic_rotate(em, iu, iv, cos_w, sin_w):
     return em
 
 
-class Embeddings:
+class Embeddings(BaseClass):
     """Dense embedding matrix + elliptic-rotation learning steps."""
 
     def __init__(self, dimension, num_elements=0, mean=0, sd=1, learn_step=3,
@@ -102,7 +104,7 @@ class Embeddings:
         return ordered, similarities[ordered]
 
 
-class GraphEmbedding:
+class GraphEmbedding(BaseClass):
     """Random-walk embedding over the reference's flattened CSR layout."""
 
     def __init__(self, dimension=None, n_jumps=None, max_per_epoch=None,

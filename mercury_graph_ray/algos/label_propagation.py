@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from mercury_graph_ray.base import BaseClass
 from mercury_graph_ray.algos.common import prepare
 from mercury_graph_ray.stages.bsp import BspEngine, VertexProgram
 from mercury_graph_ray.stages.gas import segment_sum_2key
@@ -83,7 +84,7 @@ class _LpaProgram(VertexProgram):
         return {"n_changed": changed}
 
 
-class LabelPropagation:
+class LabelPropagation(BaseClass):
     """``LabelPropagation().fit(g)`` sets ``labels_``: Dataset of
     (id, label) in original key space (label = key of some member vertex),
     plus ``n_iter_`` and ``converged_``."""

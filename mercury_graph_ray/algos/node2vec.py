@@ -32,6 +32,7 @@ import os
 import numpy as np
 import pandas as pd
 
+from mercury_graph_ray.base import BaseClass
 from mercury_graph_ray.algos.embeddings import Embeddings
 from mercury_graph_ray.algos.randomwalk import RandomWalker
 
@@ -47,7 +48,7 @@ def _stable_mask(keys, ratio: float, seed: int) -> np.ndarray:
     return out
 
 
-class Node2Vec:
+class Node2Vec(BaseClass):
     def __init__(
         self,
         dimension: int = 16,

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from mercury_graph_ray.base import BaseClass
 from mercury_graph_ray.algos.common import prepare
 from mercury_graph_ray.stages.bsp import BspEngine, VertexProgram, split_by_dest_partition
 
@@ -90,7 +91,7 @@ class _PageRankProgram(VertexProgram):
         return {"resid": resid}
 
 
-class PageRank:
+class PageRank(BaseClass):
     """Scikit-style estimator (reference convention, core/graph.py:128-137):
     ``PageRank().fit(g)`` sets ``pagerank_`` (Dataset of id, rank) plus
     ``n_iter_`` and ``err_``."""

@@ -14,8 +14,12 @@ node ranked by ``rand()·p`` and walk only among them (probabilities stay
 normalized by the FULL out-weight, as in the reference).
 
 Unlike the reference's unseeded ``f.rand()`` (a nondeterminism hazard,
-SURVEY.md §4), every random draw is keyed ``[seed, epoch, walker|src]``
-— identical walks at any parallelism, resumable mid-walk.
+SURVEY.md §4), every random draw is a counter-based hash uniform keyed
+``(seed, epoch, walker)`` for the step draw and ``(seed, epoch, edge)``
+for the hub-sampling scores — identical walks at any parallelism (the
+draw depends only on the key, never on batch/group composition),
+resumable mid-walk, and fully vectorizable (no per-walker Generator
+objects; VERDICT round 1 #5 replaced the ``iterrows`` step loop).
 
 The walker state is a Dataset partitioned by the walker's *current*
 vertex (``part = curr % P``), so each step reads only its partition's
@@ -27,11 +31,37 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from mercury_graph_ray.base import BaseClass
 from mercury_graph_ray.algos.common import prepare
 from mercury_graph_ray.stages.csr import CsrBlock
 
+_U64 = np.uint64
+_GOLDEN = _U64(0x9E3779B97F4A7C15)
 
-class RandomWalker:
+
+def hash_u01(x: np.ndarray, *keys: int) -> np.ndarray:
+    """Deterministic uniform(0,1) per element: splitmix64 over (x, keys).
+
+    Counter-based randomness — the value depends only on (x, keys), so
+    walks are identical under any partitioning/batching.
+    """
+    h = np.asarray(x, dtype=np.uint64).copy()
+    for k in keys:
+        h ^= _U64((int(k) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF) + (
+            h << _U64(6)
+        ) + (h >> _U64(2))
+    z = h + _GOLDEN
+    z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+    z = z ^ (z >> _U64(31))
+    return (z >> _U64(11)).astype(np.float64) / float(1 << 53)
+
+
+def _segment_lengths_to_starts(lens: np.ndarray) -> np.ndarray:
+    return np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+
+
+class RandomWalker(BaseClass):
     """``RandomWalker(num_epochs=10).fit(g, source_id)`` sets ``paths_``:
     Dataset of (random_walks: list, weights: list<float>)."""
 
@@ -74,41 +104,105 @@ class RandomWalker:
         def _step(group: pd.DataFrame, *, epoch: int) -> pd.DataFrame:
             part = int(group["part"].iloc[0])
             csr: CsrBlock = ray.get(csr_refs[part])
-            out = {"walker": [], "curr": [], "part": [], "path": [], "wts": []}
-            for _, row in group.iterrows():
-                u = int(row["curr"])
-                local = u // p
-                s, e = csr.indptr[local], csr.indptr[local + 1]
-                dsts = csr.dst[s:e]
-                probs = csr.w_norm[s:e]
-                nxt = None
-                if len(dsts):
-                    if k_sample and len(dsts) > k_sample:
-                        rng_e = np.random.default_rng([seed, epoch, u, 7])
-                        keep = np.argsort(-(rng_e.random(len(dsts)) * probs),
-                                          kind="stable")[:k_sample]
-                        keep = np.sort(keep)
-                        dsts, probs = dsts[keep], probs[keep]
-                    rng_w = np.random.default_rng([seed, epoch, int(row["walker"])])
-                    r = rng_w.random()
-                    cum = np.cumsum(probs)
-                    pos = int(np.searchsorted(cum, r, side="right"))
-                    if pos < len(dsts):
-                        nxt = (int(dsts[pos]), float(probs[pos]))
-                if nxt is None:  # dead end (or sampled mass < r): walk halts
-                    out["walker"].append(row["walker"])
-                    out["curr"].append(row["curr"])
-                    out["part"].append(part)
-                    out["path"].append(row["path"])
-                    out["wts"].append(row["wts"])
+            n = len(group)
+            walkers = group["walker"].to_numpy(np.int64)
+            curr = group["curr"].to_numpy(np.uint64).astype(np.int64)
+            local = curr // p
+            s = csr.indptr[local]
+            e = csr.indptr[local + 1]
+            deg = (e - s).astype(np.int64)
+
+            # one segment of candidate out-edges per walker (walkers
+            # co-located at a vertex duplicate its row ranges; scores are
+            # keyed on the absolute edge index so they agree)
+            lens = deg.copy()
+            starts = _segment_lengths_to_starts(lens)
+            total = int(lens.sum())
+            # absolute edge indices per segment, fully vectorized
+            pos_in_seg = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+            eidx = np.repeat(s, lens) + pos_in_seg
+            seg_id = np.repeat(np.arange(n, dtype=np.int64), lens)
+            probs = csr.w_norm[eidx]
+            dsts = csr.dst[eidx].astype(np.int64)
+
+            if k_sample:
+                over = deg > k_sample
+                if over.any():
+                    # per-edge score rand*p, keep top-k per segment in
+                    # original edge order (the reference's hub control,
+                    # spark_randomwalker.py:168-186)
+                    score = hash_u01(eidx, seed, epoch, 7) * probs
+                    order = np.lexsort((pos_in_seg, -score, seg_id))
+                    so = seg_id[order]
+                    seg_starts_o = np.flatnonzero(
+                        np.concatenate([[True], so[1:] != so[:-1]])
+                    )
+                    rank = np.arange(total, dtype=np.int64) - np.repeat(
+                        seg_starts_o, np.diff(np.concatenate([seg_starts_o, [total]]))
+                    )
+                    keep_sorted = rank < k_sample
+                    keep = np.zeros(total, bool)
+                    keep[order] = keep_sorted | ~over[so]
+                    eidx, seg_id, probs, dsts, pos_in_seg = (
+                        eidx[keep], seg_id[keep], probs[keep], dsts[keep], pos_in_seg[keep],
+                    )
+                    total = len(eidx)
+                    lens = np.bincount(seg_id, minlength=n).astype(np.int64)
+                    starts = _segment_lengths_to_starts(lens)
+
+            # inverse-CDF pick per walker: first edge with cum > r
+            r = hash_u01(walkers, seed, epoch)
+            if total:
+                cs = np.cumsum(probs)
+                # clamp: zero-length trailing segments have start == total;
+                # their base is never consumed (np.repeat drops len-0 segs)
+                sc = np.minimum(starts, total - 1)
+                base = cs[sc] - probs[sc]
+                within = cs - np.repeat(base, lens)
+                mark = within > np.repeat(r, lens)
+                big = total
+                cand = np.where(mark, np.arange(total, dtype=np.int64), big)
+                first = np.full(n, big, np.int64)
+                nz = lens > 0
+                if nz.any():
+                    mins = np.minimum.reduceat(cand, starts[nz]) if nz.sum() else None
+                    # reduceat needs indices over segments with rows only
+                    first[nz] = mins
+                moved = first < big
+            else:
+                moved = np.zeros(n, bool)
+                first = np.zeros(n, np.int64)
+
+            sel = first[moved]
+            v = dsts[sel] if total else np.array([], np.int64)
+            pr_sel = probs[sel] if total else np.array([], np.float64)
+
+            new_curr = curr.copy()
+            new_curr[moved] = v
+            paths = list(group["path"])
+            wts = list(group["wts"])
+            out_paths, out_wts = [], []
+            mi = 0
+            vi = iter(zip(v.tolist(), pr_sel.tolist()))
+            for i in range(n):
+                if moved[i]:
+                    nv, npp = next(vi)
+                    out_paths.append(list(paths[i]) + [nv])
+                    w = list(wts[i])
+                    w.append(w[-1] * npp)
+                    out_wts.append(w)
                 else:
-                    v, prob = nxt
-                    out["walker"].append(row["walker"])
-                    out["curr"].append(v)
-                    out["part"].append(v % p)
-                    out["path"].append(list(row["path"]) + [v])
-                    out["wts"].append(list(row["wts"]) + [row["wts"][-1] * prob])
-            return pd.DataFrame(out)
+                    out_paths.append(paths[i])
+                    out_wts.append(wts[i])
+            return pd.DataFrame(
+                {
+                    "walker": walkers,
+                    "curr": new_curr.astype(np.uint64),
+                    "part": (new_curr % p).astype(np.int64),
+                    "path": out_paths,
+                    "wts": out_wts,
+                }
+            )
 
         import functools
 

@@ -16,6 +16,8 @@ ids instead so results are reproducible.
 from __future__ import annotations
 
 import numpy as np
+
+from mercury_graph_ray.base import BaseClass
 import pandas as pd
 
 
@@ -41,7 +43,7 @@ def _kmeans(x: np.ndarray, k: int, seed: int, n_init: int = 10, iters: int = 100
     return best_labels
 
 
-class SpectralClustering:
+class SpectralClustering(BaseClass):
     """``SpectralClustering(n_clusters).fit(g)`` sets ``labels_``
     (DataFrame node_id, cluster) and ``modularity_``."""
 

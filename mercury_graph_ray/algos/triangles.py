@@ -31,6 +31,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from mercury_graph_ray.base import BaseClass
 from mercury_graph_ray.algos.common import DEFAULT_N_PARTS
 from mercury_graph_ray.stages.ids import BROADCAST_MAX_VERTICES, VertexDict
 
@@ -72,7 +73,7 @@ def _wedges_in_group(group: dict) -> dict:
     return {"a": left, "b": right, "center": center}
 
 
-class TriangleCount:
+class TriangleCount(BaseClass):
     """``TriangleCount().fit(g)`` sets ``triangles_`` (Dataset of id,
     triangles), ``total_`` (global triangle count)."""
 

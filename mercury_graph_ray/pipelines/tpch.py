@@ -268,7 +268,7 @@ def louvain_part_graph(sf_dir: str):
     from mercury_graph_ray.graph import Graph
 
     edges = part_cooccurrence_edges(sf_dir).rename_columns({"a": "src", "b": "dst"})
-    lc = LouvainCommunities(max_iter=5, max_pass=1).fit(Graph(edges))
+    lc = LouvainCommunities(max_iter=5, max_pass=1, all_partitions=False).fit(Graph(edges))
     df = lc.labels_.to_pandas()
     return df.sort_values("node_id").reset_index(drop=True)
 

@@ -16,6 +16,76 @@ import numpy as np
 import pyarrow.compute as pc
 
 
+def hsl_to_rgb(h: float, s: float, l: float) -> tuple:
+    """HSL -> (r, g, b) in 0..255 (moebius.py:472-498).
+
+    Note: reproduces the reference's exact arithmetic, including its
+    ``q`` expression where both branches evaluate ``l + s - l*s`` (the
+    textbook formula would use ``l*(1+s)`` for l < 0.5) — palette parity
+    over correctness-of-formula, since downstream tests pin the colors.
+    """
+
+    def hue_to_rgb(p, q, t):
+        if t < 0:
+            t += 1
+        if t > 1:
+            t -= 1
+        if t < 1 / 6:
+            return p + (q - p) * 6 * t
+        if t < 1 / 2:
+            return q
+        if t < 2 / 3:
+            return p + (q - p) * (2 / 3 - t) * 6
+        return p
+
+    q = l + s - l * s if l < 0.5 else l + s - l * s
+    p = 2 * l - q
+    r = hue_to_rgb(p, q, h + 1 / 3)
+    g = hue_to_rgb(p, q, h)
+    b = hue_to_rgb(p, q, h - 1 / 3)
+    return int(255 * r), int(255 * g), int(255 * b)
+
+
+def generate_color_palette(cats, hue: float = 0, sat: float = 0.7, light: float = 0.5) -> dict:
+    """{category: '#rrggbb'} hex palette spread over the hue circle
+    (moebius.py:137-166)."""
+    cats = set(cats)
+    cols = {}
+    n = len(cats)
+    for i, cat in enumerate(cats):
+        r, g, b = hsl_to_rgb((i / n + hue) % 1.0, sat, light)
+        cols[cat] = "#%02x%02X%02x" % (r, g, b)
+    return cols
+
+
+def node_or_edge_config(
+    text_is=None, color_is=None, colors=None, size_is=None,
+    size_range=None, size_scale: str = "linear",
+) -> dict:
+    """Build a node_config/edge_config dict for the Moebius JSON contract
+    (moebius.py:168-224): label/color/color_palette/size/size_thresholds/
+    scale keys with the reference's exact defaulting and validation."""
+    config = {}
+    if text_is is not None:
+        config["label"] = text_is
+    if color_is is not None:
+        config["color"] = color_is
+    config["color_palette"] = colors if colors is not None else {}
+    if size_is is None:
+        config["size_thresholds"] = []
+    else:
+        config["size"] = size_is
+        if size_range is None:
+            config["size_thresholds"] = []
+        else:
+            assert type(size_range) == list and len(size_range) == 2
+            config["size_thresholds"] = size_range
+        if size_scale != "linear":
+            assert size_scale in {"power", "sqrt", "log"}
+        config["scale"] = size_scale
+    return config
+
+
 def moebius_json(g, limit: int = 1000) -> dict:
     """Export (at most ``limit`` nodes of) the graph as D3 nodes/links."""
     deg = g.degrees().to_pandas().sort_values("id").reset_index(drop=True)

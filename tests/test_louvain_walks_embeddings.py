@@ -23,7 +23,7 @@ def louvain9():
 
 
 def test_louvain_global_optimum(ray_session):
-    lc = LouvainCommunities().fit(louvain9())
+    lc = LouvainCommunities(all_partitions=False).fit(louvain9())
     labs = lc.labels_.to_pandas()
     assert len(labs) == 9
     partition = [
@@ -35,6 +35,25 @@ def test_louvain_global_optimum(ray_session):
     assert lc.modularity_ > 0.4
 
 
+def test_louvain_all_partitions_matrix(ray_session):
+    """ADVICE: all_partitions=True (the reference default) must emit the
+    per-pass column matrix (node_id, pass0, pass1, ...), not the final
+    (node_id, cluster) table (mercury/graph/ml/louvain.py:213-217)."""
+    lc = LouvainCommunities().fit(louvain9())  # all_partitions defaults True
+    labs = lc.labels_.to_pandas()
+    assert len(labs) == 9
+    cols = list(labs.columns)
+    assert cols[0] == "node_id"
+    assert cols[1:] == [f"pass{i}" for i in range(len(cols) - 1)]
+    assert len(cols) >= 3  # at least pass0 + one productive pass
+    # pass0 is the dense anonymized id
+    assert sorted(labs["pass0"]) == list(range(9))
+    # the last pass column reproduces the known optimum partition
+    last = cols[-1]
+    partition = [set(g["node_id"]) for _, g in labs.groupby(last)]
+    assert {0, 1, 2} in partition and {3, 4, 5} in partition and {6, 7, 8} in partition
+
+
 def test_louvain_rejects_duplicate_edges(ray_session):
     df = pd.DataFrame({"src": ["a", "a"], "dst": ["b", "b"], "weight": [1.0, 2.0]})
     with pytest.raises(ValueError, match="duplicate"):
@@ -42,8 +61,8 @@ def test_louvain_rejects_duplicate_edges(ray_session):
 
 
 def test_louvain_deterministic(ray_session):
-    a = LouvainCommunities().fit(louvain9()).labels_.to_pandas().sort_values("node_id")
-    b = LouvainCommunities().fit(louvain9()).labels_.to_pandas().sort_values("node_id")
+    a = LouvainCommunities(all_partitions=False).fit(louvain9()).labels_.to_pandas().sort_values("node_id")
+    b = LouvainCommunities(all_partitions=False).fit(louvain9()).labels_.to_pandas().sort_values("node_id")
     pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
 
 
@@ -219,3 +238,45 @@ def test_louvain_distributed_reassign_matches_pandas(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_louvain_distributed_path_end_to_end(ray_session):
+    """Force the distributed hash-join dataflow (small_graph_threshold=0)
+    on a ring-of-cliques graph and cross-check the final labels against
+    the pandas fast path on the same input (VERDICT round 1 #9)."""
+    rng = np.random.default_rng(5)
+    cliques, size = 12, 5
+    src, dst = [], []
+    for c in range(cliques):
+        base = c * size
+        for i in range(size):
+            for j in range(i + 1, size):
+                src.append(base + i)
+                dst.append(base + j)
+        # one bridge edge to the next clique
+        src.append(base)
+        dst.append(((c + 1) % cliques) * size)
+    df = pd.DataFrame(
+        {"src": [str(x) for x in src], "dst": [str(x) for x in dst], "weight": 1.0}
+    )
+
+    fast = LouvainCommunities(all_partitions=False).fit(Graph(df))
+    dist = LouvainCommunities(all_partitions=False, small_graph_threshold=0).fit(Graph(df))
+    a = fast.labels_.to_pandas().sort_values("node_id").reset_index(drop=True)
+    b = dist.labels_.to_pandas().sort_values("node_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # communities == cliques (the planted optimum)
+    parts = [set(g["node_id"]) for _, g in b.groupby("cluster")]
+    assert len(parts) == cliques
+    assert abs(fast.modularity_ - dist.modularity_) < 1e-12
+
+
+def test_louvain_distributed_matrix_mode(ray_session):
+    lc = LouvainCommunities(small_graph_threshold=0).fit(louvain9())
+    labs = lc.labels_.to_pandas()
+    cols = list(labs.columns)
+    assert cols[0] == "node_id" and cols[1] == "pass0"
+    assert len(labs) == 9
+    last = cols[-1]
+    parts = [set(g["node_id"]) for _, g in labs.groupby(last)]
+    assert {0, 1, 2} in parts and {3, 4, 5} in parts and {6, 7, 8} in parts
