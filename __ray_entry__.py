@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph algorithms (§2.9) — triangle total is SQL-checkable
         "triangle_total": tpch.triangle_total,
         "pagerank_supplier_customer": tpch.pagerank_supplier_customer,
+        "pagerank_fixed20_supplier_customer": tpch.pagerank_fixed20_supplier_customer,
         "connected_components_supplier_customer": tpch.connected_components_supplier_customer,
         "label_propagation_supplier_customer": tpch.label_propagation_supplier_customer,
         # documents / training-data ops (text analysis, dedup, ANN)
@@ -61,15 +62,115 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs": td.minhash_dedup_pairs,
         "simhash_dedup_pairs": td.simhash_dedup_pairs,
         "embedding_dup_pairs": td.embedding_dup_pairs,
+        "embedding_similar_pairs": td.embedding_similar_pairs,
         "knn_top5_vec0": td.knn_top5_vec0,
     }
 
 
+def _lpa_oracle(max_iter: int = 10) -> str:
+    """Synchronous label propagation, unrolled ``max_iter`` iterations.
+
+    The frozen LPA semantics (algos/label_propagation.py docstring) are a
+    deterministic fixpoint iteration — argmax incoming weight sum, ties to
+    the smaller label, plus a zero-weight self candidate — so a converged
+    run is stable under further iterations and a fixed unroll of
+    ``max_iter`` steps is EXACTLY the stop-early result. Internal vertex
+    ids are assigned in sorted original-key order (stages/ids.py), so
+    string ORDER BY reproduces the internal tie-break."""
+    steps = []
+    for k in range(1, max_iter + 1):
+        steps.append(
+            f"""a{k} AS MATERIALIZED (
+                SELECT id, label FROM (
+                    SELECT c.id, c.label,
+                           row_number() OVER (
+                               PARTITION BY c.id
+                               ORDER BY c.w DESC, c.label ASC
+                           ) AS rn
+                    FROM (
+                        SELECT u.dst AS id, a.label AS label,
+                               sum(u.weight) AS w
+                        FROM u JOIN a{k - 1} a ON a.id = u.src
+                        GROUP BY 1, 2
+                        UNION ALL
+                        SELECT id, label, 0.0 FROM a{k - 1}
+                    ) c
+                ) WHERE rn = 1
+            )"""
+        )
+    return f"""
+        WITH e AS (
+            SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst,
+                   CAST(count(*) AS DOUBLE) AS weight
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        ),
+        u AS (
+            SELECT src, dst, max(weight) AS weight FROM (
+                SELECT src, dst, weight FROM e
+                UNION ALL
+                SELECT dst AS src, src AS dst, weight FROM e
+            ) GROUP BY 1, 2
+        ),
+        a0 AS (SELECT src AS id, src AS label FROM u GROUP BY 1, 2),
+        {",".join(steps)}
+        SELECT id, label FROM a{max_iter} ORDER BY id
+    """
+
+
+def _pagerank_oracle(iters: int = 20, alpha: float = 0.85) -> str:
+    """nx-semantics PageRank unrolled ``iters`` power-iteration steps
+    (the fixed-superstep variant: tol=0 on the Ray side, so both sides
+    run exactly ``iters`` iterations): uniform teleport, source-out-weight
+    normalization, uniform dangling redistribution."""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""r{k} AS MATERIALIZED (
+                SELECT i.id,
+                       (1 - {alpha}) / (SELECT n FROM nn)
+                       + {alpha} * (
+                           COALESCE(c.x, 0.0)
+                           + (SELECT sum(r.val) FROM r{k - 1} r
+                              WHERE r.id NOT IN (SELECT src FROM wout))
+                             / (SELECT n FROM nn)
+                       ) AS val
+                FROM ids i
+                LEFT JOIN (
+                    SELECT e.dst AS id, sum(r.val * e.weight / w.w_out) AS x
+                    FROM e
+                    JOIN r{k - 1} r ON r.id = e.src
+                    JOIN wout w ON w.src = e.src
+                    GROUP BY 1
+                ) c ON c.id = i.id
+            )"""
+        )
+    return f"""
+        WITH e AS (
+            SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst,
+                   CAST(count(*) AS DOUBLE) AS weight
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        ),
+        ids AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ids),
+        wout AS (SELECT src, sum(weight) AS w_out FROM e GROUP BY 1),
+        r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS val FROM ids),
+        {",".join(steps)}
+        SELECT id, round(val, 9) AS rank FROM r{iters} ORDER BY id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query (column names aligned with the
-    Ray pipelines). Iterative graph algorithms are intentionally omitted
-    (non-SQL-expressible; parity is proven against networkx in tests/)."""
+    Ray pipelines). Seeded/hashed or convergence-gated iterative-float
+    algorithms (converged PageRank, Louvain, random walks,
+    MinHash/SimHash/ANN buckets) are omitted — parity is proven against
+    networkx in tests/ instead; the fixed-superstep PageRank variant IS
+    SQL-checked below."""
     return {
+        "label_propagation_supplier_customer": _lpa_oracle(10),
+        "pagerank_fixed20_supplier_customer": _pagerank_oracle(20),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)                          AS sum_qty,
@@ -157,6 +258,70 @@ def oracle_sql() -> dict[str, str]:
             JOIN pairs e2 ON e1.b = e2.a
             JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
         """,
+        "connected_components_supplier_customer": """
+            WITH RECURSIVE
+            e0 AS (
+                SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2
+            ),
+            e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+            reach(node, label) AS (
+                SELECT src, src FROM e
+                UNION
+                SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node
+            ),
+            comp AS (SELECT node AS id, min(label) AS component FROM reach GROUP BY 1)
+            SELECT id, component,
+                   count(*) OVER (PARTITION BY component) AS component_size
+            FROM comp ORDER BY id
+        """,
+        "spread_activation_suppliers": """
+            WITH e AS (
+                SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst,
+                       CAST(count(*) AS DOUBLE) AS weight
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2
+            ),
+            ids AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+            wout AS (SELECT src, sum(weight) AS w_out FROM e GROUP BY 1),
+            a0 AS (
+                SELECT id,
+                       CASE WHEN id IN ('s1', 's2') THEN 1.0 ELSE 0.0 END AS inf
+                FROM ids
+            ),
+            a1 AS (
+                SELECT a0.id,
+                       CASE WHEN w.src IS NULL THEN a0.inf ELSE 0.8 * a0.inf END
+                       + COALESCE(t.x, 0.0) AS inf
+                FROM a0
+                LEFT JOIN wout w ON w.src = a0.id
+                LEFT JOIN (
+                    SELECT e.dst AS id,
+                           sum(a0.inf * 0.2 * e.weight / w.w_out) AS x
+                    FROM e
+                    JOIN a0 ON a0.id = e.src
+                    JOIN wout w ON w.src = e.src
+                    GROUP BY 1
+                ) t ON t.id = a0.id
+            ),
+            a2 AS (
+                SELECT a1.id,
+                       CASE WHEN w.src IS NULL THEN a1.inf ELSE 0.8 * a1.inf END
+                       + COALESCE(t.x, 0.0) AS inf
+                FROM a1
+                LEFT JOIN wout w ON w.src = a1.id
+                LEFT JOIN (
+                    SELECT e.dst AS id,
+                           sum(a1.inf * 0.2 * e.weight / w.w_out) AS x
+                    FROM e
+                    JOIN a1 ON a1.id = e.src
+                    JOIN wout w ON w.src = e.src
+                    GROUP BY 1
+                ) t ON t.id = a1.id
+            )
+            SELECT id, round(inf, 9) AS influence FROM a2 ORDER BY id
+        """,
         "events_sessionization": """
             WITH g AS (
                 SELECT user_id, ts,
@@ -191,6 +356,15 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
                          / greatest(length(text), 1), 6) AS punct_ratio
             FROM documents ORDER BY doc_id
+        """,
+        "embedding_similar_pairs": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.42
+            ORDER BY 1, 2
         """,
         "knn_top5_vec0": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -171,7 +171,11 @@ def pagerank_child() -> dict:
         "fit_sec": round(fit_sec, 2),
         "loop_sec": round(pr.loop_secs_, 3),
         "superstep_sec": round(pr.superstep_secs_, 4),
-        "edges_per_sec_per_superstep": round(SCALE_E / pr.superstep_secs_, 1),
+        # median superstep: robust to transient host CPU-steal episodes
+        # (this sandbox VM shows multi-minute ones); the scaling
+        # efficiency is computed from it
+        "superstep_median_sec": round(pr.superstep_median_, 4),
+        "edges_per_sec_per_superstep": round(SCALE_E / pr.superstep_median_, 1),
     }
 
 
@@ -229,18 +233,24 @@ def run_scaling() -> dict:
     run("--pagerank-child", 32, "0-31")
     run("--extract-child", 32, "0-31")
 
-    # interleaved A/B/A/B to average out machine drift
+    # interleaved A/B/A/B to average out machine drift (this VM sees
+    # multi-minute host-level CPU-steal episodes; best-of-3 + per-run
+    # median supersteps ride them out)
     pr_runs = {2: [], 8: []}
-    for _ in range(2):
+    ext_runs = {8: [], 32: []}
+    for _ in range(3):
         pr_runs[8].append(run("--pagerank-child", 8, "0-7"))
         pr_runs[2].append(run("--pagerank-child", 2, "0-1"))
-    pr_hi = min(pr_runs[8], key=lambda r: r["loop_sec"])
-    pr_lo = min(pr_runs[2], key=lambda r: r["loop_sec"])
+        ext_runs[32].append(run("--extract-child", 32, "0-31"))
+        ext_runs[8].append(run("--extract-child", 8, "0-7"))
+    pr_hi = min(pr_runs[8], key=lambda r: r["superstep_median_sec"])
+    pr_lo = min(pr_runs[2], key=lambda r: r["superstep_median_sec"])
+    ext_hi = min(ext_runs[32], key=lambda r: r["extract_sec"])
+    ext_lo = min(ext_runs[8], key=lambda r: r["extract_sec"])
 
-    ext_hi = run("--extract-child", 32, "0-31")
-    ext_lo = run("--extract-child", 8, "0-7")
-
-    pr_eff = round((pr_lo["loop_sec"] / pr_hi["loop_sec"]) / 4.0, 3)
+    pr_eff = round(
+        (pr_lo["superstep_median_sec"] / pr_hi["superstep_median_sec"]) / 4.0, 3
+    )
     ext_eff = round((ext_lo["extract_sec"] / ext_hi["extract_sec"]) / 4.0, 3)
     return {
         "metric": "scaling: same job, same input, taskset-pinned core sets "

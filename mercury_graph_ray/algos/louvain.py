@@ -44,10 +44,41 @@ from mercury_graph_ray.stages.join import hash_join
 from mercury_graph_ray.stages.util import ensure_schema, rename_cols
 
 
-def _sum_by(ds, key_cols, val_col, alias):
-    from ray.data.aggregate import Sum
+def _sum_by(ds, key_cols, val_col, alias, *, n_buckets: int = 32):
+    """groupby(keys).sum(val) as per-batch pre-combine + small-int-bucket
+    shuffle.
 
-    return ds.groupby(key_cols).aggregate(Sum(val_col, alias_name=alias))
+    Ray 2.49's sort-based ``groupby().aggregate(Sum)`` costs ~240 µs/row
+    on these inputs (the round-1 finding that motivated the same pattern
+    in pipelines/pages_to_edges.py); pre-combining inside each batch and
+    shuffling at most one row per (batch, key) on ``hash(key) % 32``
+    is an order of magnitude faster and hub-safe. All Louvain keys are
+    int64 (dense vids / community ids) and values float64, so the output
+    schema is pinned here (empty bucket groups are schema-less on this
+    Ray version — stages/util.ensure_schema)."""
+    import pandas as pd
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, as_index=False)[val_col].sum()
+        g = g.rename(columns={val_col: alias})
+        g["_bucket"] = (
+            pd.util.hash_pandas_object(g[keys], index=False).to_numpy() % n_buckets
+        ).astype(np.int64)
+        return g
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, as_index=False)[alias].sum()
+
+    out = (
+        ds.map_batches(_pre, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(_final, batch_format="pandas")
+    )
+    return ensure_schema(
+        out, {**{k: pa.int64() for k in keys}, alias: pa.float64()}
+    )
 
 
 # above this many BYTES a join side is too big to broadcast (a 20M-row
@@ -57,22 +88,12 @@ _BROADCAST_BYTES = 64 << 20
 
 
 def _join(left, right, on, *, how="inner"):
-    """Adaptive join: broadcast the right side when it is small (one
-    streaming pass, no shuffle), else bucketed hash join. The right sides
-    in Louvain are per-vertex/per-community scalar tables, which shrink
-    with every coarsening pass. The size probe uses the materialized
-    Dataset's block metadata (``size_bytes``) — no extra count() job."""
-    from mercury_graph_ray.stages.join import broadcast_join, hash_join
+    """Adaptive join; see stages/join.py::auto_join (promoted from here).
+    The right sides in Louvain are per-vertex/per-community scalar
+    tables, which shrink with every coarsening pass."""
+    from mercury_graph_ray.stages.join import auto_join
 
-    mat = right.materialize()
-    size = mat.size_bytes() or 0
-    if size <= _BROADCAST_BYTES:
-        rdf = mat.to_pandas()
-        if rdf.shape[1] == 0:  # all-empty Dataset.to_pandas drops the schema
-            sch = mat.schema()
-            rdf = pa.schema(list(zip(sch.names, sch.types))).empty_table().to_pandas()
-        return broadcast_join(left, rdf, on, how=how)
-    return hash_join(left, mat, on, how=how)
+    return auto_join(left, right, on, how=how, broadcast_bytes=_BROADCAST_BYTES)
 
 
 class LouvainCommunities(BaseClass):
@@ -371,15 +392,27 @@ class LouvainCommunities(BaseClass):
 
     # ---------------------------------------------------------------- fit
     def fit(self, g) -> "LouvainCommunities":
-        from ray.data.aggregate import Count
+        # duplicate-edge validation (louvain.py:260-268): per-batch count
+        # pre-combine + int-bucket shuffle (same rationale as _sum_by —
+        # the sort-based groupby on the raw string pair keys is the
+        # slowest job of the whole fit otherwise)
+        def _pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+            c = df.groupby(["src", "dst"], as_index=False).size()
+            c["_bucket"] = (
+                pd.util.hash_pandas_object(c[["src", "dst"]], index=False).to_numpy()
+                % 32
+            ).astype(np.int64)
+            return c
 
-        # duplicate-edge validation (louvain.py:260-268)
+        def _dups(df: pd.DataFrame) -> pd.DataFrame:
+            n = df.groupby(["src", "dst"], as_index=False)["size"].sum()
+            return n[n["size"] > 1][["src", "dst"]]
+
         dup = (
-            g.edges.groupby(["src", "dst"])
-            .aggregate(Count(alias_name="n"))
-            .map_batches(
-                lambda t: t.filter(pa.compute.greater(t["n"], 1)), batch_format="pyarrow"
-            )
+            g.edges.select_columns(["src", "dst"])
+            .map_batches(_pair_counts, batch_format="pandas")
+            .groupby("_bucket")
+            .map_groups(_dups, batch_format="pandas")
             .count()
         )
         if dup > 0:
@@ -445,19 +478,22 @@ class LouvainCommunities(BaseClass):
             def _ids(t: pa.Table) -> pa.Table:
                 s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
                 d = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
-                u = np.concatenate([s, d])
-                return pa.table({"id": pa.array(u)})
+                u = np.unique(np.concatenate([s, d]))  # per-batch distinct
+                return pa.table(
+                    {"id": pa.array(u), "_bucket": pa.array(u % 32)}
+                )
 
+            def _distinct(df: pd.DataFrame) -> pd.DataFrame:
+                u = df["id"].unique()
+                return pd.DataFrame({"id": u, "c": u})
+
+            # distinct via per-batch unique + int-bucket shuffle (the
+            # sort-based groupby().Count() distinct costs ~240 µs/row on
+            # this Ray version — same finding as _sum_by above)
             p = (
                 edges.map_batches(_ids, batch_format="pyarrow")
-                .groupby("id")
-                .aggregate(Count(alias_name="_n"))
-                .map_batches(
-                    lambda t: pa.table(
-                        {"id": t["id"], "c": t["id"]}
-                    ),
-                    batch_format="pyarrow",
-                )
+                .groupby("_bucket")
+                .map_groups(_distinct, batch_format="pandas")
                 .materialize()
             )
             p = ensure_schema(p, {"id": pa.int64(), "c": pa.int64()}).materialize()

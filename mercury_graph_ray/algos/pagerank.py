@@ -157,9 +157,12 @@ class PageRank(BaseClass):
 
         it = start_iter
         t_loop = time.perf_counter()
+        self.superstep_times_: list[float] = []
         if not converged:
             for it in range(start_iter + 1, self.max_iter + 1):
+                t_ss = time.perf_counter()
                 metrics = engine.superstep()
+                self.superstep_times_.append(time.perf_counter() - t_ss)
                 err = float(sum(m["resid"] for m in metrics))
                 if ckpt and (it % self.checkpoint_every == 0):
                     engine.save_checkpoint(ckpt, it, {"err": err, "n_iter": it})
@@ -172,6 +175,12 @@ class PageRank(BaseClass):
                 )
         self.loop_secs_ = time.perf_counter() - t_loop
         self.superstep_secs_ = self.loop_secs_ / max(1, it - start_iter)
+        # median is the robust throughput statistic on shared hosts where
+        # transient CPU-steal episodes poison a mean
+        self.superstep_median_ = (
+            float(np.median(self.superstep_times_)) if self.superstep_times_
+            else self.superstep_secs_
+        )
         self.converged_ = converged
         if ckpt:
             engine.save_checkpoint(

@@ -79,13 +79,40 @@ def lang_id(text: str) -> str:
 
 
 def fingerprint64(texts: pd.Series) -> np.ndarray:
-    """64-bit FNV-1a rolling document fingerprint (content hash)."""
-    out = np.empty(len(texts), np.uint64)
-    for i, t in enumerate(texts.fillna("")):
-        h = np.uint64(0xCBF29CE484222325)
-        for b in t.encode("utf-8"):
-            h = np.uint64((int(h) ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
+    """64-bit FNV-1a rolling document fingerprint (content hash).
+
+    FNV is serial per document, so the vectorization runs byte-POSITION-
+    major: one numpy step per byte offset updates every document's hash at
+    once (masked past each document's length). Cost is max_len vector ops
+    over the batch instead of total_bytes Python-interpreter steps —
+    identical output values. Row-chunked so the padded byte matrix stays
+    under ~64 MB regardless of batch size."""
+    n = len(texts)
+    out = np.empty(n, np.uint64)
+    if n == 0:
+        return out
+    prime = np.uint64(0x100000001B3)
+    basis = np.uint64(0xCBF29CE484222325)
+    arrs = [np.frombuffer(t.encode("utf-8"), np.uint8) for t in texts.fillna("")]
+    lens = np.array([len(a) for a in arrs], np.int64)
+    max_len = int(lens.max()) if n else 0
+    rows_per_chunk = max(1, (64 << 20) // max(1, max_len))
+    old = np.seterr(over="ignore")  # uint64 multiply wraps by design (FNV)
+    try:
+        for lo in range(0, n, rows_per_chunk):
+            hi = min(n, lo + rows_per_chunk)
+            cl = lens[lo:hi]
+            m = int(cl.max())
+            mat = np.zeros((hi - lo, m), np.uint8)
+            for i, a in enumerate(arrs[lo:hi]):
+                mat[i, : len(a)] = a
+            h = np.full(hi - lo, basis, np.uint64)
+            for j in range(m):
+                live = j < cl
+                h[live] = (h[live] ^ mat[live, j]) * prime
+            out[lo:hi] = h
+    finally:
+        np.seterr(**old)
     return out
 
 

@@ -228,6 +228,23 @@ def pagerank_supplier_customer(sf_dir: str):
     return df.sort_values("id").reset_index(drop=True)
 
 
+def pagerank_fixed20_supplier_customer(sf_dir: str):
+    """PageRank at exactly 20 supersteps (tol=0) — the SQL-checkable
+    variant: a fixed iteration count makes the power iteration a pure
+    deterministic dataflow that a 20-step unrolled DuckDB query
+    reproduces to ~1e-13, while the converged query keeps nx parity."""
+    from mercury_graph_ray.algos.pagerank import PageRank
+    from mercury_graph_ray.graph import Graph
+    from mercury_graph_ray.pipelines.training_data import _round_half_away
+
+    pr = PageRank(n_parts=8, tol=0.0, max_iter=20, strict=False).fit(
+        Graph(supplier_customer_edges(sf_dir).materialize())
+    )
+    df = pr.pagerank_.to_pandas()
+    df["rank"] = _round_half_away(df["rank"], 9)
+    return df.sort_values("id").reset_index(drop=True)
+
+
 def connected_components_supplier_customer(sf_dir: str):
     from mercury_graph_ray.algos.connected_components import ConnectedComponents
     from mercury_graph_ray.graph import Graph
@@ -283,7 +300,11 @@ def spread_activation_suppliers(sf_dir: str):
         g, seed_nodes=["s1", "s2"]
     )
     df = sa.influences_.to_pandas()
-    df["influence"] = df["influence"].round(9)
+    # half-away rounding to match DuckDB round() (pandas .round is
+    # half-to-even — the docs_quality round-1 hash-mismatch class)
+    from mercury_graph_ray.pipelines.training_data import _round_half_away
+
+    df["influence"] = _round_half_away(df["influence"], 9)
     return df.sort_values("id").reset_index(drop=True)
 
 

@@ -81,6 +81,18 @@ def embedding_dup_pairs(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def embedding_similar_pairs(sf_dir: str):
+    """Exact all-pairs cosine ≥ 0.42 over the embeddings table — the
+    SQL-checkable exactness baseline next to the LSH embedding_dup_pairs
+    (whose 0.9 threshold correctly yields zero pairs on this data)."""
+    from mercury_graph_ray.stages.knn import exact_cosine_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = exact_cosine_pairs(ds, threshold=0.42).to_pandas()
+    out["cosine"] = _round_half_away(out["cosine"], 6)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def knn_top5_vec0(sf_dir: str):
     """Exact cosine top-5 neighbors of vec_id=0 (SQL-parity via duckdb
     list_cosine_similarity)."""

@@ -39,18 +39,39 @@ def _perm_params(num_perm: int, seed: int):
     return a, b
 
 
-def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Sorted unique 64-bit hashes of the k-char shingles."""
+_SHINGLE_CACHE_MAX = 1 << 20  # ~60 MB/actor worst case; natural-language
+# k-grams are heavily repeated across documents, so the hit rate is high
+
+
+def shingle_hashes(text: str, k: int = 5, cache: dict | None = None) -> np.ndarray:
+    """Sorted unique 64-bit hashes of the k-char shingles.
+
+    Deduplicates shingles BEFORE hashing (identical output: the result is
+    the unique hash set either way) and, when ``cache`` is given (the
+    actor-held dict in :class:`MinHasher`), reuses hashes across
+    documents — blake2b runs only on never-seen shingles."""
     t = " ".join(text.split()).lower()
     if len(t) < k:
         t = t.ljust(k)
-    n = len(t) - k + 1
-    hs = np.empty(n, np.uint64)
-    for i in range(n):
-        hs[i] = np.frombuffer(
-            hashlib.blake2b(t[i : i + k].encode(), digest_size=8).digest(), np.uint64
-        )[0]
-    return np.unique(hs)
+    uniq = {t[i : i + k] for i in range(len(t) - k + 1)}
+    out = np.empty(len(uniq), np.uint64)
+    if cache is None:
+        for j, s in enumerate(uniq):
+            out[j] = np.frombuffer(
+                hashlib.blake2b(s.encode(), digest_size=8).digest(), np.uint64
+            )[0]
+    else:
+        for j, s in enumerate(uniq):
+            h = cache.get(s)
+            if h is None:
+                h = np.frombuffer(
+                    hashlib.blake2b(s.encode(), digest_size=8).digest(), np.uint64
+                )[0]
+                if len(cache) < _SHINGLE_CACHE_MAX:
+                    cache[s] = h
+            out[j] = h
+    out.sort()
+    return out
 
 
 def minhash_signature(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -94,11 +115,14 @@ class MinHasher:
         self.a, self.b = _perm_params(num_perm, seed)
         self.k = shingle_k
         self.text_col, self.id_col = text_col, id_col
+        self._cache: dict = {}  # shingle -> hash, shared across batches
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
         sigs = np.stack(
             [
-                minhash_signature(shingle_hashes(t, self.k), self.a, self.b)
+                minhash_signature(
+                    shingle_hashes(t, self.k, self._cache), self.a, self.b
+                )
                 for t in batch[self.text_col].fillna("")
             ]
         )
@@ -170,7 +194,7 @@ def minhash_lsh_pairs(
        rep) map (two joins) and add the within-group identical pairs
        (est 1.0), reproducing the uncollapsed output exactly.
     """
-    from mercury_graph_ray.stages.join import hash_join
+    from mercury_graph_ray.stages.join import auto_join
     from mercury_graph_ray.stages.util import ensure_schema, rename_cols
 
     rows_per_band = num_perm // bands
@@ -195,7 +219,7 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
         batch_size=None,
     )
-    reps_docs = hash_join(docs_small, rep_ids, on=("doc",), num_buckets=32)
+    reps_docs = auto_join(docs_small, rep_ids, on=("doc",))
 
     sigs = reps_docs.map_batches(
         MinHasher,
@@ -241,7 +265,8 @@ def minhash_lsh_pairs(
         .groupby(["a", "b"])
         .map_groups(lambda g: {"a": g["a"][:1], "b": g["b"][:1]}, batch_format="numpy"),
         {"a": pa.int64(), "b": pa.int64()},
-    )
+    ).materialize()  # tiny (candidate pairs); breaks the mega-plan — one
+    # streaming DAG with 4 chained hash-joins stalls the local executor
 
     # verify: join candidate pairs against the signature Dataset twice
     sig_a = ensure_schema(
@@ -252,8 +277,8 @@ def minhash_lsh_pairs(
         rename_cols(sigs, {"doc": "b", "sig": "sig_b"}),
         {"b": pa.int64(), "sig_b": sig_type},
     )
-    v = hash_join(cand, sig_a, on=("a",), num_buckets=32)
-    v = hash_join(v, sig_b, on=("b",), num_buckets=32)
+    v = auto_join(cand, sig_a, on=("a",)).materialize()
+    v = auto_join(v, sig_b, on=("b",)).materialize()
 
     def _est(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -278,7 +303,7 @@ def minhash_lsh_pairs(
     rep_pairs = ensure_schema(
         v.map_batches(_est, batch_format="pyarrow", batch_size=None),
         {"a": pa.int64(), "b": pa.int64(), "est_jaccard": pa.float64()},
-    )
+    ).materialize()
 
     # expand rep pairs to member pairs (distinct groups)
     mem_a = ensure_schema(
@@ -289,8 +314,8 @@ def minhash_lsh_pairs(
         rename_cols(members, {"rep": "b", "doc": "bm"}),
         {"bm": pa.int64(), "b": pa.int64()},
     )
-    e1 = hash_join(rep_pairs, mem_a, on=("a",), num_buckets=32)
-    e2 = hash_join(e1, mem_b, on=("b",), num_buckets=32)
+    e1 = auto_join(rep_pairs, mem_a, on=("a",))
+    e2 = auto_join(e1, mem_b, on=("b",))
 
     def _orient(t: pa.Table) -> pa.Table:
         am = t["am"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -326,21 +351,36 @@ def minhash_lsh_pairs(
 
 # --------------------------------------------------------------- simhash
 def simhash64(texts: pd.Series) -> np.ndarray:
-    out = np.empty(len(texts), np.uint64)
-    for i, t in enumerate(texts.fillna("")):
-        toks = t.lower().split()
-        if not toks:
-            out[i] = 0
-            continue
-        acc = np.zeros(64, np.int64)
-        for tok in toks:
-            h = np.frombuffer(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), np.uint64
-            )[0]
-            bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-            acc += np.where(bits == 1, 1, -1)
-        bits = (acc > 0).astype(np.uint64)
-        out[i] = np.uint64(sum(int(b) << k for k, b in enumerate(bits)))
+    """Vectorized 64-bit SimHash: hash each UNIQUE token once (blake2b),
+    expand to a ±1 bit-sign matrix, and sum per document with one
+    ``add.reduceat`` over the exploded (doc, token) stream — no per-token
+    Python work beyond the unique-token hash loop."""
+    n = len(texts)
+    out = np.zeros(n, np.uint64)
+    if n == 0:
+        return out
+    tok_lists = texts.fillna("").str.lower().str.split()
+    counts = tok_lists.str.len().to_numpy(np.int64)
+    flat = [t for toks in tok_lists for t in toks]
+    if not flat:
+        return out
+    uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+    hu = np.empty(len(uniq), np.uint64)
+    for j, tok in enumerate(uniq):
+        hu[j] = np.frombuffer(
+            hashlib.blake2b(tok.encode(), digest_size=8).digest(), np.uint64
+        )[0]
+    # (U, 64) sign matrix: +1 where the hash bit is set, else -1
+    signs = (
+        ((hu[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int8)
+        * 2
+        - 1
+    ).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    nonempty = counts > 0
+    acc = np.add.reduceat(signs[inv], starts[nonempty], axis=0)
+    bits = (acc > 0).astype(np.uint64)
+    out[nonempty] = (bits << np.arange(64, dtype=np.uint64)).sum(axis=1)
     return out
 
 

@@ -125,3 +125,28 @@ def hash_join(left, right, on: list[str] | tuple, *, how: str = "inner",
     from mercury_graph_ray.stages.util import ensure_schema
 
     return ensure_schema(out, {c: all_types[c] for c in out_cols})
+
+
+# above this many BYTES a right side is too big to broadcast (a 20M-row
+# x 3-col frame is ~0.5-1 GB on the driver — round-1 VERDICT #7 flagged
+# row-based thresholds as far too generous)
+AUTO_BROADCAST_BYTES = 64 << 20
+
+
+def auto_join(left, right, on, *, how: str = "inner",
+              broadcast_bytes: int = AUTO_BROADCAST_BYTES):
+    """Adaptive join (the Louvain round-1 pattern, promoted here):
+    materialize the right side and broadcast it when under
+    ``broadcast_bytes`` — one streaming pass, no shuffle and none of the
+    per-bucket task storm a bucketed join pays on small inputs — else
+    fall back to the bucketed :func:`hash_join`. The size probe reads the
+    materialized Dataset's block metadata (no extra count() job)."""
+    mat = right.materialize()
+    size = mat.size_bytes() or 0
+    if size <= broadcast_bytes:
+        rdf = mat.to_pandas()
+        if rdf.shape[1] == 0:  # all-empty Dataset.to_pandas drops the schema
+            sch = mat.schema()
+            rdf = pa.schema(list(zip(sch.names, sch.types))).empty_table().to_pandas()
+        return broadcast_join(left, rdf, on, how=how)
+    return hash_join(left, mat, on, how=how)

@@ -75,6 +75,46 @@ def brute_force_topk(
     return out.reset_index(drop=True)
 
 
+def exact_cosine_pairs(ds, threshold: float, *, vec_col="embedding", id_col="vec_id"):
+    """Exact all-pairs cosine similarity ≥ ``threshold`` (pairs a < b).
+
+    The exactness BASELINE for the LSH near-dup path
+    (stages/dedup.embedding_dup_pairs): the full unit-row matrix is
+    broadcast once (``ray.put``), the table streams through one
+    ``map_batches`` pass computing a (batch × n) matmul — no shuffle.
+    O(n²) similarity work and an O(n·d) broadcast: correct and fast up to
+    ~10^6 vectors; at corpus scale use the hyperplane-LSH bucketed path
+    and keep this as its recall oracle on samples.
+    """
+    import ray
+
+    mats, idss = [], []
+    for t in ds.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow"):
+        mats.append(np.stack(t[vec_col].to_pylist()).astype(np.float64))
+        idss.append(
+            t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+    all_ids = np.concatenate(idss)
+    ref = ray.put((_unit_rows(np.vstack(mats)), all_ids))
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        mat, aid = ray.get(ref)
+        vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = _unit_rows(vecs) @ mat.T
+        mask = (sims >= threshold) & (ids[:, None] < aid[None, :])
+        r, c = np.nonzero(mask)
+        return pa.table(
+            {
+                "a": pa.array(ids[r]),
+                "b": pa.array(aid[c]),
+                "cosine": pa.array(sims[r, c]),
+            }
+        )
+
+    return ds.map_batches(_pairs, batch_format="pyarrow")
+
+
 class IvfIndex:
     """Inverted-file index: seeded-kmeans centroids + per-vector list
     assignment (one pass), probed with nprobe lists at query time."""

@@ -214,3 +214,30 @@ def test_multimodal_plumbing(ray_session):
         rd.from_arrow(synth_media_table(2)).map_batches(
             ImageDecode, batch_format="pyarrow", concurrency=1
         ).materialize()
+
+
+def test_hash_function_goldens():
+    """Pin fingerprint64 (FNV-1a) and simhash64 values so vectorization
+    rewrites can't silently change the hash definitions (both feed dedup
+    bucketing, so a drift would invalidate persisted fingerprints)."""
+    import pandas as pd
+
+    from mercury_graph_ray.functions.text import fingerprint64
+    from mercury_graph_ray.stages.dedup import simhash64
+
+    s = pd.Series(["the quick brown fox", "The Quick Brown Fox", "", None, "日本語 text mixed"])
+    assert fingerprint64(s).tolist() == [
+        6462304499243991330,
+        16476063329361101538,
+        14695981039346656037,  # FNV offset basis (empty doc)
+        14695981039346656037,  # None -> ""
+        7470513040478400245,
+    ]
+    # simhash is case-insensitive (lower() before tokenize): rows 0/1 equal
+    assert simhash64(s).tolist() == [
+        3835468261877862402,
+        3835468261877862402,
+        0,
+        0,
+        1754752803754842580,
+    ]
