@@ -44,40 +44,21 @@ from mercury_graph_ray.stages.join import hash_join
 from mercury_graph_ray.stages.util import ensure_schema, rename_cols
 
 
-def _sum_by(ds, key_cols, val_col, alias, *, n_buckets: int = 32):
-    """groupby(keys).sum(val) as per-batch pre-combine + small-int-bucket
-    shuffle.
-
-    Ray 2.49's sort-based ``groupby().aggregate(Sum)`` costs ~240 µs/row
-    on these inputs (the round-1 finding that motivated the same pattern
-    in pipelines/pages_to_edges.py); pre-combining inside each batch and
-    shuffling at most one row per (batch, key) on ``hash(key) % 32``
-    is an order of magnitude faster and hub-safe. All Louvain keys are
-    int64 (dense vids / community ids) and values float64, so the output
-    schema is pinned here (empty bucket groups are schema-less on this
-    Ray version — stages/util.ensure_schema)."""
-    import pandas as pd
+def _sum_by(ds, key_cols, val_col, alias):
+    """groupby(keys).sum(val) via stages/util.bucket_sum_by (per-batch
+    pre-combine + int-bucket shuffle — the round-1 sort-aggregate cost
+    finding). All Louvain keys are int64 (dense vids / community ids)
+    and values float64."""
+    from mercury_graph_ray.stages.util import bucket_sum_by
 
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
-
-    def _pre(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(keys, as_index=False)[val_col].sum()
-        g = g.rename(columns={val_col: alias})
-        g["_bucket"] = (
-            pd.util.hash_pandas_object(g[keys], index=False).to_numpy() % n_buckets
-        ).astype(np.int64)
-        return g
-
-    def _final(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(keys, as_index=False)[alias].sum()
-
-    out = (
-        ds.map_batches(_pre, batch_format="pandas")
-        .groupby("_bucket")
-        .map_groups(_final, batch_format="pandas")
-    )
-    return ensure_schema(
-        out, {**{k: pa.int64() for k in keys}, alias: pa.float64()}
+    src = rename_cols(ds, {val_col: alias}) if val_col != alias else ds
+    return bucket_sum_by(
+        src.select_columns(keys + [alias]),
+        keys,
+        alias,
+        {**{k: pa.int64() for k in keys}, alias: pa.float64()},
+        n_buckets=32,
     )
 
 

@@ -134,15 +134,47 @@ class Graph:
 
         rev = rename_cols(e, {"src": "dst", "dst": "src"}).select_columns(cols)
         both = e.union(rev)
-        from ray.data.aggregate import Max
+        sch = self._edges.schema()
+        types = dict(zip(sch.names, sch.types))
+        from mercury_graph_ray.stages.util import bucket_sum_by
 
         if "weight" in cols:
-            out = both.groupby(["src", "dst"]).aggregate(Max("weight", alias_name="weight"))
+            out = bucket_sum_by(
+                both,
+                ["src", "dst"],
+                "weight",
+                {"src": types["src"], "dst": types["dst"], "weight": pa.float64()},
+                agg="max",
+            )
         else:
-            from ray.data.aggregate import Count
+            # distinct via per-batch dedup + bucket shuffle (same
+            # rationale: the sort-based Count() distinct is ~240 µs/row)
+            import numpy as np
+            import pandas as pd
 
-            out = both.groupby(["src", "dst"]).aggregate(Count(alias_name="_n"))
-            out = out.select_columns(["src", "dst"])
+            def _pre(df: pd.DataFrame) -> pd.DataFrame:
+                g = df.drop_duplicates(["src", "dst"])
+                g = g.assign(
+                    _bucket=(
+                        pd.util.hash_pandas_object(
+                            g[["src", "dst"]], index=False
+                        ).to_numpy()
+                        % 64
+                    ).astype(np.int64)
+                )
+                return g
+
+            from mercury_graph_ray.stages.util import ensure_schema
+
+            out = ensure_schema(
+                both.map_batches(_pre, batch_format="pandas")
+                .groupby("_bucket")
+                .map_groups(
+                    lambda d: d.drop_duplicates(["src", "dst"])[["src", "dst"]],
+                    batch_format="pandas",
+                ),
+                {"src": types["src"], "dst": types["dst"]},
+            )
         self._cache["undirected"] = out
         return out
 
@@ -154,7 +186,6 @@ class Graph:
         before the single groupby shuffle; node zero-fill rides the same
         union."""
         import numpy as np
-        from ray.data.aggregate import Sum
 
         def _partials(t: pa.Table) -> pa.Table:
             src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -173,11 +204,25 @@ class Graph:
             z = pa.array(np.zeros(t.num_rows, np.int64))
             return pa.table({"id": t["id"], "out_degree": z, "in_degree": z})
 
+        from mercury_graph_ray.stages.util import bucket_sum_by
+
         partials = self._edges.map_batches(_partials, batch_format="pyarrow")
-        zeros = self.nodes.select_columns(["id"]).map_batches(_zeros, batch_format="pyarrow")
-        agg = partials.union(zeros).groupby("id").aggregate(
-            Sum("out_degree", alias_name="out_degree"),
-            Sum("in_degree", alias_name="in_degree"),
+        if self._nodes_inferred:
+            # inferred nodes are exactly the endpoint ids — the zero-fill
+            # union adds nothing but a second full edge scan
+            both = partials
+        else:
+            zeros = self.nodes.select_columns(["id"]).map_batches(
+                _zeros, batch_format="pyarrow"
+            )
+            both = partials.union(zeros)
+        sch = self._edges.schema()
+        id_type = dict(zip(sch.names, sch.types))["src"]
+        agg = bucket_sum_by(
+            both,
+            "id",
+            ["out_degree", "in_degree"],
+            {"id": id_type, "out_degree": pa.int64(), "in_degree": pa.int64()},
         )
 
         def _final(t: pa.Table) -> pa.Table:
@@ -194,9 +239,8 @@ class Graph:
         return agg.map_batches(_final, batch_format="pyarrow")
 
     def weighted_degrees(self, direction: str = "out"):
-        """groupby(endpoint).sum(weight) — SURVEY.md §2.5 A2."""
-        from ray.data.aggregate import Sum
-
+        """groupby(endpoint).sum(weight) — SURVEY.md §2.5 A2. Bucketed
+        pre-combine shuffle (stages/util.bucket_sum_by)."""
         key = "src" if direction == "out" else "dst"
         e = self._edges
         if not self.weighted:
@@ -204,12 +248,19 @@ class Graph:
                 lambda t: t.append_column("weight", pa.array([1.0] * t.num_rows, pa.float64())),
                 batch_format="pyarrow",
             )
-        from mercury_graph_ray.stages.util import rename_cols
+        from mercury_graph_ray.stages.util import bucket_sum_by, rename_cols
 
-        return (
-            rename_cols(e.select_columns([key, "weight"]), {key: "id"})
-            .groupby("id")
-            .aggregate(Sum("weight", alias_name=f"w_{direction}"))
+        alias = f"w_{direction}"
+        sch = self._edges.schema()
+        id_type = dict(zip(sch.names, sch.types))[key]
+        return bucket_sum_by(
+            rename_cols(
+                rename_cols(e.select_columns([key, "weight"]), {key: "id"}),
+                {"weight": alias},
+            ),
+            "id",
+            alias,
+            {"id": id_type, alias: pa.float64()},
         )
 
     # ---------------------------------------------------------- algorithms

@@ -47,3 +47,42 @@ def ensure_schema(ds, schema: dict[str, pa.DataType]):
     # otherwise reports schema() None, which breaks downstream joins
     anchor = rd.from_arrow(target.empty_table())
     return ds.map_batches(_fix, batch_format="pyarrow").union(anchor)
+
+
+def bucket_sum_by(ds, key_cols, val_cols, schema: dict[str, pa.DataType],
+                  *, n_buckets: int = 64, agg: str = "sum"):
+    """``groupby(keys).agg(vals)`` as per-batch pre-combine + int-bucket
+    shuffle.
+
+    Ray 2.49's sort-based ``groupby().aggregate(Sum)`` costs ~240 µs/row
+    (string keys worst, int keys not much better); pre-combining inside
+    each batch and shuffling at most one row per (batch, key) on
+    ``hash(key) % n_buckets`` is an order of magnitude faster, hub-safe
+    (a hot key contributes one partial per batch) and identical in
+    output. ``agg`` must be an associative combine whose partial equals
+    its final ("sum", "max", "min"). ``schema`` pins the result types
+    because empty bucket groups come out schema-less on this Ray version
+    (see ensure_schema)."""
+    import numpy as np
+    import pandas as pd
+
+    assert agg in ("sum", "max", "min"), agg
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    vals = [val_cols] if isinstance(val_cols, str) else list(val_cols)
+
+    def _pre(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, as_index=False)[vals].agg(agg)
+        g["_bucket"] = (
+            pd.util.hash_pandas_object(g[keys], index=False).to_numpy() % n_buckets
+        ).astype(np.int64)
+        return g
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, as_index=False)[vals].agg(agg)
+
+    out = (
+        ds.map_batches(_pre, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(_final, batch_format="pandas")
+    )
+    return ensure_schema(out, schema)
