@@ -115,14 +115,27 @@ class Node2Vec(BaseClass):
         paths = paths[paths["random_walks"].map(len) > 1].reset_index(drop=True)
         self.paths_ = paths
 
-        sentences = [list(map(str, p)) for p in paths["random_walks"]]
-        vocab = sorted({w for s in sentences for w in s})
+        # flatten the walk corpus once: vocab + skip-gram pairs are pure
+        # numpy (unique/return_inverse + offset masks), no per-sentence loop
+        lens = paths["random_walks"].map(len).to_numpy(np.int64)
+        flat = np.concatenate(
+            [np.asarray(s, dtype="U") for s in paths["random_walks"]]
+        ) if lens.sum() else np.empty(0, "U1")
+        vocab_arr, inv = np.unique(flat, return_inverse=True)
+        vocab = vocab_arr.tolist()
         self.node_ids = vocab
-        index = {w: i for i, w in enumerate(vocab)}
+
+        # consecutive (i, i+1) pairs that do not cross a sentence boundary
+        mask = np.ones(max(len(flat), 1), bool)
+        mask[np.cumsum(lens) - 1] = False
+        mask = mask[: max(len(flat) - 1, 0)]
+        i_pos = np.nonzero(mask)[0]
+        a, b = inv[i_pos], inv[i_pos + 1]
 
         try:
             from gensim.models import Word2Vec  # noqa: F401
 
+            sentences = [list(map(str, p)) for p in paths["random_walks"]]
             model = Word2Vec(
                 sentences,
                 vector_size=self.dimension,
@@ -139,17 +152,20 @@ class Node2Vec(BaseClass):
                 learn_step=self.learn_step,
                 seed=self.seed,
             )
-            rng = np.random.default_rng([self.seed, 17])
-            conv, div = [], []
-            for s in sentences:
-                for a, b in zip(s, s[1:]):
-                    conv.append((index[a], index[b]))
-                    other = int(rng.integers(0, len(vocab)))
-                    while vocab[other] == a or vocab[other] == b:
-                        other = int(rng.integers(0, len(vocab)))
-                    div.append((index[a], other))
+            conv = np.stack([a, b], 1)
+            if len(vocab) >= 2:
+                # negative samples: rejection-resample collisions in bulk
+                rng = np.random.default_rng([self.seed, 17])
+                other = rng.integers(0, len(vocab), len(a))
+                bad = (other == a) | (other == b)
+                while bad.any():
+                    other[bad] = rng.integers(0, len(vocab), int(bad.sum()))
+                    bad = (other == a) | (other == b)
+                div = np.stack([a, other], 1)
+            else:
+                div = np.empty((0, 2), np.int64)
             for _ in range(self.w2v_epochs):
-                em.fit(converge=np.array(conv), diverge=np.array(div))
+                em.fit(converge=conv, diverge=div)
             self._vectors = em.embeddings_matrix_
             self.trainer_ = "elliptic-fallback"
         return self

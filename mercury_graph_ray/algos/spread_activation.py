@@ -16,10 +16,13 @@ semantics decoded from _spread_activation_step):
 
 ``influenced_by=True`` additionally propagates the *set* of seed nodes
 whose influence reached each node (set-union per step, reference
-:278-296); sets are kept as sorted lists for determinism. The set union
-is per-edge Python (as in the reference's UDF) — influence *values*
-scale to the full graph, but seed-set tracking is a small-graph mode
-(cost O(edges x |reached seeds|), documented deliberately).
+:278-296); sets are kept as sorted lists for determinism. Internally
+seeds travel as dense int64 vid arrays and the per-step union is a
+vectorized (dst, seed) pair dedup (ragged gather + lexsort + adjacent
+diff — no per-edge Python); vids decode to original keys once at the
+end. Tracking still requires the broadcast vertex dictionary (its
+payload is O(edges x |reached seeds|) ints), while influence *values*
+scale to the full graph.
 
 Mapped onto the GAS engine: the sink's self-retention is emitted from the
 sink's own partition (it equals ``inf[v]`` exactly, so no dst-side state
@@ -115,6 +118,14 @@ class SpreadingActivation(BaseClass):
         import ray.data as rd
 
         keys_ref = vd._broadcast_ref  # vid -> original key (sorted-key array)
+        if track and keys_ref is None:
+            raise NotImplementedError(
+                "influenced_by=True requires the broadcast vertex dictionary "
+                "(seed-set payloads are O(edges x |reached seeds|); documented "
+                "small-graph mode)"
+            )
+
+        _EMPTY = np.empty(0, np.int64)
 
         def _init(batch: dict) -> pd.DataFrame:
             ids = batch["id"].astype(np.int64)
@@ -122,11 +133,32 @@ class SpreadingActivation(BaseClass):
             inf = np.isin(ids, seeds).astype(np.float64)
             df = pd.DataFrame({"id": ids.astype(np.uint64), "part": ids % p, "influence": inf})
             if track:
-                keys = ray.get(keys_ref)
+                # seeds travel as int64 vid arrays; keys decode at the end
                 df["influenced_by"] = [
-                    [str(keys[v])] if f > 0 else [] for v, f in zip(ids, inf)
+                    np.array([v], np.int64) if f > 0 else _EMPTY
+                    for v, f in zip(ids, inf)
                 ]
             return df
+
+        def _dedup_pairs(dst_rep: np.ndarray, seed_rep: np.ndarray, n_groups: int):
+            """Unique (dst, seed) pairs -> per-dst seed arrays (len n_groups)."""
+            if not len(dst_rep):
+                return [_EMPTY] * n_groups
+            order = np.lexsort((seed_rep, dst_rep))
+            dr, sr = dst_rep[order], seed_rep[order]
+            keep = np.empty(len(dr), bool)
+            keep[0] = True
+            np.logical_or(dr[1:] != dr[:-1], sr[1:] != sr[:-1], out=keep[1:])
+            dr, sr = dr[keep], sr[keep]
+            bounds = np.searchsorted(dr, np.arange(n_groups + 1))
+            return [sr[bounds[i] : bounds[i + 1]] for i in range(n_groups)]
+
+        def _ragged(col) -> tuple[np.ndarray, np.ndarray]:
+            """Object column of int arrays -> (flat concat, per-row lengths)."""
+            arrs = [np.asarray(x, np.int64) for x in col]
+            lens = np.fromiter((len(a) for a in arrs), np.int64, len(arrs))
+            flat = np.concatenate(arrs) if lens.sum() else _EMPTY
+            return flat, lens
 
         state = (
             rd.range(n).map_batches(_init, batch_format="numpy", batch_size=1 << 20).materialize()
@@ -168,17 +200,33 @@ class SpreadingActivation(BaseClass):
                 }
             )
             if track:
-                sets_local = np.empty(csr.n_local, object)
-                sets_local[local] = list(group["influenced_by"])
-                edge_sets = [
-                    set(sets_local[r]) if sets_local[r] is not None else set()
-                    for r in csr.row_of_edge
+                # reorder the group's seed arrays into local-row order
+                rows = np.empty(csr.n_local, object)
+                rows[local] = group["influenced_by"].to_numpy()
+                flat, lens0 = _ragged(
+                    a if a is not None else _EMPTY for a in rows
+                )
+                offs = np.zeros(csr.n_local + 1, np.int64)
+                np.cumsum(lens0, out=offs[1:])
+                # ragged gather: every edge re-emits its source row's seeds
+                cnt_e = lens0[csr.row_of_edge]
+                tot = int(cnt_e.sum())
+                if tot:
+                    cum = np.cumsum(cnt_e)
+                    pos = (
+                        np.arange(tot, dtype=np.int64)
+                        - np.repeat(cum - cnt_e, cnt_e)
+                        + np.repeat(offs[:-1][csr.row_of_edge], cnt_e)
+                    )
+                    uniq_lists = _dedup_pairs(
+                        np.repeat(csr.dst_inv, cnt_e), flat[pos], len(csr.uniq_dst)
+                    )
+                else:
+                    uniq_lists = [_EMPTY] * len(csr.uniq_dst)
+                self_lists = [
+                    np.asarray(a, np.int64) if a is not None else _EMPTY for a in rows
                 ]
-                uniq_sets = [set() for _ in range(len(csr.uniq_dst))]
-                for inv_i, s in zip(csr.dst_inv, edge_sets):
-                    uniq_sets[inv_i] |= s
-                self_sets = [set(s) if s is not None else set() for s in sets_local]
-                out["infl"] = [sorted(s) for s in uniq_sets] + [sorted(s) for s in self_sets]
+                out["infl"] = uniq_lists + self_lists
             return out
 
         def _gather(group: pd.DataFrame) -> pd.DataFrame:
@@ -191,10 +239,10 @@ class SpreadingActivation(BaseClass):
             df = pd.DataFrame({"id": ids, "part": np.full(n_local, part, np.int64),
                                "influence": acc})
             if track:
-                merged = [set() for _ in range(n_local)]
-                for li, s in zip(local, group["infl"]):
-                    merged[li] |= set(s)
-                df["influenced_by"] = [sorted(s) for s in merged]
+                flat, lens0 = _ragged(group["infl"].to_numpy())
+                df["influenced_by"] = _dedup_pairs(
+                    np.repeat(local, lens0), flat, n_local
+                )
             return df
 
         for _ in range(self.spreading_steps):
@@ -202,6 +250,19 @@ class SpreadingActivation(BaseClass):
             state = msgs.groupby("gpart").map_groups(_gather, batch_format="pandas").materialize()
 
         cols = ["id", "influence"] + (["influenced_by"] if track else [])
-        self.influences_ = vd.decode(state.select_columns(cols), col="id")
+        res = state.select_columns(cols)
+        if track:
+            kref = keys_ref
+
+            def _decode_infl(df: pd.DataFrame) -> pd.DataFrame:
+                keys = ray.get(kref)
+                df["influenced_by"] = [
+                    sorted(str(keys[int(v)]) for v in np.asarray(a))
+                    for a in df["influenced_by"]
+                ]
+                return df
+
+            res = res.map_batches(_decode_infl, batch_format="pandas")
+        self.influences_ = vd.decode(res, col="id")
         self.total_influence_ = float(state.sum("influence"))
         return self

@@ -290,6 +290,53 @@ class Graph:
                 G.add_node(r.id)
         return G
 
+    @property
+    def networkx(self):
+        """Cached networkx representation (reference graph.py:240-253).
+        Small-graph path — collects the edge table to the driver."""
+        if "networkx" not in self._cache:
+            self._cache["networkx"] = self.to_networkx()
+        return self._cache["networkx"]
+
+    @property
+    def graphframe(self):
+        """GraphFrames representation (reference graph.py:255-268). Spark /
+        graphframes are not part of this engine's environment; the property
+        exists for surface parity and raises with the conversion recipe."""
+        raise ImportError(
+            "graphframes requires a Spark runtime, which this Ray-native "
+            "engine does not depend on. Export with nodes_as_pandas()/"
+            "edges_as_pandas() (or .nodes/.edges write_parquet) and build "
+            "the GraphFrame in a Spark session."
+        )
+
+    @property
+    def dgl(self):
+        """DGL representation (reference graph.py:270-283) — built when the
+        optional ``dgl``+``torch`` stack is importable, else raises with the
+        export recipe."""
+        if "dgl" not in self._cache:
+            try:
+                import dgl  # noqa: F401
+                import torch
+            except ImportError as e:
+                raise ImportError(
+                    "dgl/torch are not installed in this environment. Export "
+                    "edges with edges_as_pandas() and feed dgl.graph() "
+                    "directly, or install dgl+torch."
+                ) from e
+            import numpy as np
+
+            from mercury_graph_ray.stages.ids import VertexDict
+
+            vd = VertexDict.from_edges(self._edges)
+            enc = vd.encode_edges(self._edges.select_columns(["src", "dst"])).to_pandas()
+            self._cache["dgl"] = dgl.graph(
+                (torch.tensor(enc["src"].to_numpy(np.int64)),
+                 torch.tensor(enc["dst"].to_numpy(np.int64)))
+            )
+        return self._cache["dgl"]
+
     def closeness_centrality(self) -> dict:
         """Small-graph op (reference graph.py:656-671)."""
         import networkx as nx

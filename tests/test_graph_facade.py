@@ -106,3 +106,19 @@ def test_khop_subgraph(ray_session):
     assert ids == {"Alice", "Bob", "Carol", "Dave", "Grace"}
     sub2 = khop_subgraph(g, "Alice", depth=3, limit=3)
     assert len(sub2["nodes"]) <= 3 + 2  # budget respected (frontier granularity)
+
+
+def test_representation_properties(ray_session):
+    import networkx as nx
+    import pandas as pd
+    import pytest
+
+    edges = pd.DataFrame({"src": ["a", "b"], "dst": ["b", "c"]})
+    g = Graph(edges)
+    G = g.networkx
+    assert isinstance(G, nx.DiGraph) and set(G.nodes) == {"a", "b", "c"}
+    assert g.networkx is G  # cached
+    with pytest.raises(ImportError):
+        g.graphframe
+    with pytest.raises(ImportError):
+        g.dgl  # dgl/torch absent in this container

@@ -120,3 +120,39 @@ def test_spread_activation_influenced_by(ray_session):
     assert set(res["D"]) == {"D"}
     assert set(res["E"]) == {"A"}
     assert len(res["F"]) == 0
+
+
+def test_spread_activation_influenced_by_random_graph(ray_session):
+    """Vectorized (dst, seed) pair-dedup tracking vs a driver-side set
+    simulation of the reference semantics on a 300-node random graph."""
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 300, 1200)
+    dst = rng.integers(0, 300, 1200)
+    m = src != dst
+    edges = pd.DataFrame(
+        {"src": [f"v{s}" for s in src[m]], "dst": [f"v{d}" for d in dst[m]]}
+    ).drop_duplicates()
+    seeds = ["v3", "v77", "v150"]
+    sa = SpreadingActivation(
+        spreading_factor=0.3, transfer_function="unweighted",
+        spreading_steps=3, influenced_by=True, n_parts=4,
+    ).fit(Graph(edges), seed_nodes=seeds)
+    res = sa.influences_.to_pandas().set_index("id")["influenced_by"]
+
+    # driver-side simulation: per step every node's seed set flows to its
+    # out-neighbours AND stays with the node (retention/sink terms are
+    # always nonzero fractions of the prior influence when positive).
+    out_nbrs: dict[str, set] = {}
+    for s, d in edges.itertuples(index=False):
+        out_nbrs.setdefault(s, set()).add(d)
+    nodes = set(edges["src"]) | set(edges["dst"])
+    cur = {v: ({v} if v in seeds else set()) for v in nodes}
+    for _ in range(3):
+        nxt = {v: set(cur[v]) for v in nodes}
+        for v in nodes:
+            for d in out_nbrs.get(v, ()):
+                nxt[d] |= cur[v]
+        cur = nxt
+    assert len(res) == len(nodes)
+    for v in nodes:
+        assert set(res[v]) == cur[v], v
