@@ -267,8 +267,17 @@ class LouvainCommunities(BaseClass):
 
         k_in = le.map_batches(_kin, batch_format="pyarrow").sum("w") or 0.0
         ld = _join(self._degrees(edges), partition, on=("id",))
-        kc = _sum_by(ld, "c", "degree", "kC").to_pandas()
-        k_out = self.resolution * float((kc["kC"] ** 2).sum())
+        # sum of squared community degrees, computed distributed — early
+        # passes have ~|V| communities, never pull that table to the driver
+        kc = _sum_by(ld, "c", "degree", "kC")
+
+        def _sq(t: pa.Table) -> pa.Table:
+            v = t["kC"].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table({"kC2": pa.array([float((v * v).sum())])})
+
+        k_out = self.resolution * float(
+            kc.map_batches(_sq, batch_format="pyarrow").sum("kC2") or 0.0
+        )
         norm = 1.0 / (2 * m)
         return (k_in / m) - (norm**2 * k_out)
 

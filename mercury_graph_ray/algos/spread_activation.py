@@ -35,6 +35,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from mercury_graph_ray.base import BaseClass
 from mercury_graph_ray.algos.common import prepare
@@ -107,12 +109,17 @@ class SpreadingActivation(BaseClass):
             for q in range(p)
         }
 
-        # initial state: seeds = 1.0
+        # initial state: seeds = 1.0. The seed set is tiny (user-supplied),
+        # so filter the distributed mapping down to it BEFORE collecting —
+        # never pull the full vertex dictionary to the driver.
         seed_keys = set(map(str, seed_nodes))
-        mapping = vd.mapping.to_pandas()
-        seed_vids = set(
-            mapping.loc[mapping["id"].astype(str).isin(seed_keys), "vid"].astype(np.int64)
-        )
+
+        def _seed_rows(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t["id"], pa.string())
+            return t.filter(pc.is_in(ids, value_set=pa.array(sorted(seed_keys))))
+
+        seed_map = vd.mapping.map_batches(_seed_rows, batch_format="pyarrow").to_pandas()
+        seed_vids = set(seed_map["vid"].astype(np.int64))
         seed_ref = ray.put(np.array(sorted(seed_vids), np.int64))
 
         import ray.data as rd
