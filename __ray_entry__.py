@@ -50,6 +50,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_fixed20_supplier_customer": tpch.pagerank_fixed20_supplier_customer,
         "connected_components_supplier_customer": tpch.connected_components_supplier_customer,
         "label_propagation_supplier_customer": tpch.label_propagation_supplier_customer,
+        # temporal joins + windows (stages/temporal: as-of, range, hopping)
+        "events_last_purchase_asof": tpch.events_last_purchase_asof,
+        "events_clicks_before_purchase": tpch.events_clicks_before_purchase,
+        "events_sliding_2h": tpch.events_sliding_2h,
+        # multi-way distributed hash-join (TPC-H Q3 shape)
+        "q3_top_orders": tpch.q3_top_orders,
         # documents / training-data ops (text analysis, dedup, ANN)
         "events_sessionization": tpch.events_sessionization,
         "louvain_part_graph": tpch.louvain_part_graph,
@@ -333,6 +339,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
             FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "events_last_purchase_asof": """
+            SELECT e.event_id, e.user_id, e.ts,
+                   p.event_id AS purchase_event_id, p.ts AS purchase_ts
+            FROM events e
+            ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                            WHERE event_type = 'purchase') p
+            ON e.user_id = p.user_id AND e.ts >= p.ts
+            ORDER BY e.event_id
+        """,
+        "events_clicks_before_purchase": """
+            SELECT p.event_id, count(*) AS n_clicks,
+                   round(sum(c.value), 4) AS sum_click_value
+            FROM events p
+            JOIN events c ON p.user_id = c.user_id AND c.event_type = 'click'
+                 AND c.ts BETWEEN p.ts - INTERVAL 60 MINUTE AND p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id ORDER BY p.event_id
+        """,
+        "events_sliding_2h": """
+            SELECT date_trunc('hour', ts) - g.i * INTERVAL 1 HOUR AS window_start,
+                   event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events, generate_series(0, 1) g(i)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q3_top_orders": """
+            SELECT l_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate  > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+            LIMIT 10
         """,
         "docs_token_stats": """
             SELECT doc_id,

@@ -294,6 +294,131 @@ def events_sessionization(sf_dir: str, gap_minutes: int = 30):
     return out.to_pandas().sort_values("user_id").reset_index(drop=True)
 
 
+def events_last_purchase_asof(sf_dir: str):
+    """As-of join (stages/temporal.asof_join): attach to EVERY event the
+    user's most recent purchase at-or-before it — the attribution shape.
+    One bucketed key shuffle + per-bucket merge_asof; left-outer nulls for
+    users with no prior purchase."""
+    from mercury_graph_ray.stages.temporal import asof_join
+    from mercury_graph_ray.stages.util import rename_cols
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    left = ev.drop_columns(["event_type"])
+
+    def _purchases(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["event_type"], "purchase"))
+
+    right = rename_cols(
+        ev.map_batches(_purchases, batch_format="pyarrow").drop_columns(["event_type"]),
+        {"ts": "purchase_ts", "event_id": "purchase_event_id"},
+    )
+    out = asof_join(left, right, by=["user_id"], left_on="ts", right_on="purchase_ts")
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    return df[["event_id", "user_id", "ts", "purchase_event_id", "purchase_ts"]]
+
+
+def events_clicks_before_purchase(sf_dir: str, minutes: int = 60):
+    """Range join (stages/temporal.range_join): per purchase, the count and
+    value-sum of the same user's clicks in the preceding ``minutes``
+    (bounds inclusive). Inner semantics — purchases with zero clicks in
+    the window emit no row (the SQL oracle matches)."""
+    from ray.data.aggregate import Count, Sum
+
+    from mercury_graph_ray.stages.temporal import range_join
+    from mercury_graph_ray.stages.util import rename_cols
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def _of(kind):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], kind)).drop_columns(["event_type"])
+
+        return _f
+
+    purchases = ev.map_batches(_of("purchase"), batch_format="pyarrow").drop_columns(
+        ["value"]
+    )
+    clicks = rename_cols(
+        ev.map_batches(_of("click"), batch_format="pyarrow").drop_columns(["event_id"]),
+        {"ts": "click_ts", "value": "click_value"},
+    )
+    pairs = range_join(
+        purchases, clicks, by=["user_id"], left_on="ts", right_on="click_ts",
+        lower=f"-{minutes}m", upper="0s",
+    )
+    out = pairs.groupby("event_id").aggregate(
+        Count(alias_name="n_clicks"), Sum("click_value", alias_name="sum_click_value")
+    )
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    return _round_cols(df, {"sum_click_value": 4})
+
+
+def events_sliding_2h(sf_dir: str):
+    """Hopping-window aggregate (stages/temporal.sliding_window): 2-hour
+    windows every hour, per event_type — each row lands in exactly two
+    windows; partials pre-combine per batch before the one shuffle."""
+    from mercury_graph_ray.stages.temporal import sliding_window
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = sliding_window(
+        ds, "ts", window="2h", hop="1h", keys=["event_type"], value_col="value"
+    )
+    df = out.to_pandas().sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    return _round_cols(df, {"sum_value": 4})
+
+
+def q3_top_orders(sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-06-01"):
+    """TPC-H Q3 shape: two distributed hash-joins (customer⋈orders⋈lineitem
+    — both fact-sized at scale, so no broadcast), groupby revenue, top-10.
+    All three reads prune columns; filters run at the scan."""
+    cut = np.datetime64(cutoff, "us")
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def _rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cut)))
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    li = li.map_batches(_rev, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def _ord(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["o_orderdate"], pa.scalar(cut)))
+
+    orders = orders.map_batches(_ord, batch_format="pyarrow")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def _seg(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_mktsegment"], segment))
+        return pa.table({"o_custkey": t["c_custkey"]})
+
+    cust = cust.map_batches(_seg, batch_format="pyarrow")
+
+    from ray.data.aggregate import Sum
+
+    from mercury_graph_ray.stages.join import auto_join
+    from mercury_graph_ray.stages.util import rename_cols
+
+    # adaptive: the filtered dimension sides broadcast below 64 MB and
+    # fall back to the bucketed hash_join beyond (both are fact-sized at
+    # 100 TB, where the shuffle path kicks in)
+    oc = auto_join(orders, cust, on=["o_custkey"])  # semi via inner (custkey unique)
+    j = auto_join(li, rename_cols(oc, {"o_orderkey": "l_orderkey"}), on=["l_orderkey"])
+    agg = j.groupby(["l_orderkey", "o_orderdate"]).aggregate(Sum("rev", alias_name="revenue"))
+    df = (
+        agg.to_pandas()
+        .sort_values(["revenue", "l_orderkey"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )[["l_orderkey", "o_orderdate", "revenue"]]
+    return _round_cols(df, {"revenue": 2})
+
+
 def louvain_part_graph(sf_dir: str):
     """Louvain communities over the part co-occurrence graph (rows-only:
     iterative; exactness is proven on the reference fixture in tests)."""

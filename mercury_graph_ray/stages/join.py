@@ -56,22 +56,22 @@ def broadcast_join(left, right_df: pd.DataFrame, on: list[str] | tuple, *,
     )
 
 
-def hash_join(left, right, on: list[str] | tuple, *, how: str = "inner",
-              num_buckets: int = 32):
-    """Join two Datasets on equality of ``on`` columns.
-
-    Output columns: left columns then right-only columns (pandas-merge
-    semantics; ``on`` columns appear once)."""
-    on = list(on)
-    lschema = left.schema()
-    rschema = right.schema()
-    lcols = list(lschema.names)
-    rcols = list(rschema.names)
-    ltypes = dict(zip(lschema.names, lschema.types))
-    rtypes = dict(zip(rschema.names, rschema.types))
-    extra_r = [c for c in rcols if c not in lcols]
-    out_cols = lcols + extra_r
-    all_types = {**rtypes, **ltypes}  # left wins for shared names
+def cogroup_buckets(left, right, key_cols: list[str], merge_fn, *,
+                    out_cols: list[str], all_types: dict,
+                    num_buckets: int = 32,
+                    lcols: list[str] | None = None,
+                    rcols: list[str] | None = None):
+    """Generic bucketed co-group: shuffle BOTH sides once on
+    ``hash(key_cols) % num_buckets`` and run ``merge_fn(lpart, rpart)``
+    (pandas frames carrying each side's original columns) per bucket,
+    returning a frame with ``out_cols``. This is the single exchange every
+    two-sided keyed operator here (equi-join, as-of join, range join)
+    shares; per-bucket data must fit one task — salt hot keys upstream if
+    a single key dominates."""
+    # callers that renamed a side pass its columns explicitly — an
+    # all-empty renamed Dataset reports schema() None in this Ray release
+    lcols = lcols if lcols is not None else list(left.schema().names)
+    rcols = rcols if rcols is not None else list(right.schema().names)
 
     def _prep(side: int, my_cols):
         def _fn(t: pa.Table) -> pa.Table:
@@ -83,7 +83,7 @@ def hash_join(left, right, on: list[str] | tuple, *, how: str = "inner",
                 for c in out_cols:
                     cols[c] = pa.nulls(0, type=all_types[c])
                 return pa.table(cols)
-            keys = t.select(on).to_pandas()
+            keys = t.select(key_cols).to_pandas()
             h = pd.util.hash_pandas_object(keys, index=False).to_numpy(np.uint64)
             cols = {
                 "__bucket": pa.array((h % np.uint64(num_buckets)).astype(np.int64)),
@@ -108,7 +108,11 @@ def hash_join(left, right, on: list[str] | tuple, *, how: str = "inner",
     def _merge(group: pd.DataFrame) -> pa.Table:
         lpart = group.loc[group["__side"] == 0, lcols]
         rpart = group.loc[group["__side"] == 1, rcols]
-        merged = lpart.merge(rpart, on=on, how=how)
+        merged = merge_fn(lpart, rpart)
+        if len(merged) == 0:
+            # typed empty — a reindexed empty frame has object/float dtypes
+            # that can't cast to e.g. timestamp
+            return pa.table({c: pa.nulls(0, type=all_types[c]) for c in out_cols})
         # emit Arrow with the declared types so every block (including
         # empty buckets) has an identical schema: pandas turns nullable
         # ints into float64+NaN on outer joins; from_pandas converts back
@@ -125,6 +129,30 @@ def hash_join(left, right, on: list[str] | tuple, *, how: str = "inner",
     from mercury_graph_ray.stages.util import ensure_schema
 
     return ensure_schema(out, {c: all_types[c] for c in out_cols})
+
+
+def hash_join(left, right, on: list[str] | tuple, *, how: str = "inner",
+              num_buckets: int = 32):
+    """Join two Datasets on equality of ``on`` columns.
+
+    Output columns: left columns then right-only columns (pandas-merge
+    semantics; ``on`` columns appear once)."""
+    on = list(on)
+    lschema = left.schema()
+    rschema = right.schema()
+    lcols = list(lschema.names)
+    rcols = list(rschema.names)
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    extra_r = [c for c in rcols if c not in lcols]
+    out_cols = lcols + extra_r
+    all_types = {**rtypes, **ltypes}  # left wins for shared names
+
+    return cogroup_buckets(
+        left, right, on,
+        lambda lp, rp: lp.merge(rp, on=on, how=how),
+        out_cols=out_cols, all_types=all_types, num_buckets=num_buckets,
+    )
 
 
 # above this many BYTES a right side is too big to broadcast (a 20M-row
