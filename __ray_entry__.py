@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": td.embedding_dup_pairs,
         "embedding_similar_pairs": td.embedding_similar_pairs,
         "knn_top5_vec0": td.knn_top5_vec0,
+        "knn_ivf_top5_vec0": td.knn_ivf_top5_vec0,
+        "docs_ngram_jaccard_consecutive": td.docs_ngram_jaccard_consecutive,
     }
 
 
@@ -419,5 +421,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, round(sim, 4) AS cosine,
                    CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
             FROM scored ORDER BY sim DESC, vec_id LIMIT 5
+        """,
+        "knn_ivf_top5_vec0": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT vec_id,
+                       list_cosine_similarity(embedding, (SELECT qe FROM q)) AS sim
+                FROM embeddings WHERE vec_id <> 0
+            )
+            SELECT vec_id, round(sim, 4) AS cosine,
+                   CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+            FROM scored ORDER BY sim DESC, vec_id LIMIT 5
+        """,
+        "docs_ngram_jaccard_consecutive": """
+            WITH norm AS (
+                SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+                FROM documents
+            ), pos AS (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, length(t) - 4)) AS i
+                FROM norm
+            ), sh AS (
+                SELECT DISTINCT doc_id, substr(t, CAST(i AS BIGINT), 5) AS s
+                FROM pos
+            ), sz AS (
+                SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+            ), ji AS (
+                SELECT a.doc_id AS doc_a, count(*) AS n_inter
+                FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND a.s = b.s
+                GROUP BY 1
+            )
+            SELECT sa.doc_id AS doc_a, sa.doc_id + 1 AS doc_b,
+                   sa.n AS n_a, sb.n AS n_b,
+                   CAST(coalesce(ji.n_inter, 0) AS BIGINT) AS n_inter
+            FROM sz sa JOIN sz sb ON sb.doc_id = sa.doc_id + 1
+            LEFT JOIN ji ON ji.doc_a = sa.doc_id
+            ORDER BY doc_a
         """,
     }

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -111,6 +112,94 @@ def knn_top5_vec0(sf_dir: str):
     out = out[["vec_id", "cosine", "rank"]].copy()
     out["cosine"] = out["cosine"].round(4)
     return out.reset_index(drop=True)
+
+
+def knn_ivf_top5_vec0(sf_dir: str):
+    """IVF index probed exhaustively (nprobe = nlist): recall is exactly
+    1.0, so the brute-force SQL oracle applies verbatim — this SQL-checks
+    the whole IVF path (kmeans build -> list_id-partitioned parquet ->
+    pruned partition read -> per-batch top-k combine)."""
+    import pyarrow.parquet as pq
+
+    from mercury_graph_ray.stages.knn import IvfIndex
+
+    q = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .to_pandas()
+    )
+    qvec = np.array(q.loc[q.vec_id == 0, "embedding"].iloc[0], np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    idx = IvfIndex.build(ds, nlist=8)
+    out = idx.search(qvec[None, :], k=6, nprobe=8, query_ids=np.array([0]))
+    out = out.loc[out["vec_id"] != 0].copy()  # drop the self-match (rank 1)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out = out[["vec_id", "cosine", "rank"]].head(5)
+    out["cosine"] = out["cosine"].round(4)
+    return out.reset_index(drop=True)
+
+
+def docs_ngram_jaccard_consecutive(sf_dir: str, k: int = 5):
+    """Exact k-char-shingle Jaccard between each consecutive doc_id pair,
+    reported as integer set sizes (n_a, n_b, n_inter) so the SQL compare
+    is exact (jaccard = n_inter / (n_a + n_b - n_inter)).
+
+    Distributed shape: each doc's unique shingle-hash set is emitted to
+    its two adjacent pair groups (2x the shingle corpus through one
+    groupby), intersections vectorized per group. 64-bit blake2b hashes
+    stand in for the shingles themselves (collision odds ~(2k)^2/2^64 per
+    doc — negligible vs the SQL string-equality oracle)."""
+    import ray.data as rd
+
+    from mercury_graph_ray.stages.dedup import shingle_hashes
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _expand(t: pa.Table) -> pa.Table:
+        dids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        pairs, owners, lists = [], [], []
+        for did, txt in zip(dids, texts):
+            hs = np.sort(shingle_hashes(txt or "", k))
+            for pr in (did - 1, did):
+                if pr >= 0:
+                    pairs.append(int(pr))
+                    owners.append(int(did))
+                    lists.append(hs)
+        return pa.table(
+            {
+                "pair": pa.array(pairs, pa.int64()),
+                "doc_id": pa.array(owners, pa.int64()),
+                "h": pa.array([l.tolist() for l in lists], pa.list_(pa.uint64())),
+            }
+        )
+
+    def _jac(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {c: pd.Series([], dtype=np.int64)
+             for c in ["doc_a", "doc_b", "n_a", "n_b", "n_inter"]}
+        )
+        if g["doc_id"].nunique() != 2:
+            return empty  # pair id past the last doc (one member only)
+        g = g.sort_values("doc_id")
+        ha = np.asarray(g["h"].iloc[0], np.uint64)
+        hb = np.asarray(g["h"].iloc[1], np.uint64)
+        inter = int(len(np.intersect1d(ha, hb, assume_unique=True)))
+        return pd.DataFrame(
+            {
+                "doc_a": [int(g["doc_id"].iloc[0])],
+                "doc_b": [int(g["doc_id"].iloc[1])],
+                "n_a": [len(ha)],
+                "n_b": [len(hb)],
+                "n_inter": [inter],
+            }
+        )
+
+    out = (
+        ds.map_batches(_expand, batch_format="pyarrow")
+        .groupby("pair")
+        .map_groups(_jac, batch_format="pandas")
+    )
+    return out.to_pandas().sort_values("doc_a").reset_index(drop=True)
 
 
 def knn_ivf_vs_brute(sf_dir: str, k: int = 10, n_queries: int = 8):
