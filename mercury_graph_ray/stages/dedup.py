@@ -46,10 +46,34 @@ _SHINGLE_CACHE_MAX = 1 << 20  # ~60 MB/actor worst case; natural-language
 def shingle_hashes(text: str, k: int = 5, cache: dict | None = None) -> np.ndarray:
     """Sorted unique 64-bit hashes of the k-char shingles.
 
-    Deduplicates shingles BEFORE hashing (identical output: the result is
-    the unique hash set either way) and, when ``cache`` is given (the
-    actor-held dict in :class:`MinHasher`), reuses hashes across
-    documents — blake2b runs only on never-seen shingles."""
+    Fully vectorized: decode the normalized text to UTF-32 codepoints
+    (character-exact — shingles stay character-based, not byte-based),
+    compute every position's polynomial hash with k fused
+    multiply-adds over the whole array, finalize with a splitmix64
+    avalanche, and ``np.unique``. This is the per-document hot loop of
+    MinHash/n-gram dedup at corpus scale — zero Python work per shingle.
+    ``cache`` is accepted for backward compatibility and ignored (hashing
+    is now cheaper than a dict probe)."""
+    t = " ".join(text.split()).lower()
+    if len(t) < k:
+        t = t.ljust(k)
+    cp = np.frombuffer(t.encode("utf-32-le"), np.uint32).astype(np.uint64)
+    n = len(cp) - k + 1
+    h = np.zeros(n, np.uint64)
+    P = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier; uint64 wraps by design
+    for j in range(k):
+        h = h * P + cp[j : j + n]
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return np.unique(h)
+
+
+def _shingle_hashes_blake2b(text: str, k: int = 5, cache: dict | None = None) -> np.ndarray:
+    """Pre-vectorization reference implementation (kept for the parity
+    test: identical SET SEMANTICS, different hash values)."""
     t = " ".join(text.split()).lower()
     if len(t) < k:
         t = t.ljust(k)
