@@ -183,7 +183,32 @@ def part_cooccurrence_edges(sf_dir: str):
         keep = lo != hi  # same part twice in an order is not an edge
         return {"a": lo[keep], "b": hi[keep]}
 
-    pairs = ds.groupby("l_orderkey").map_groups(_pairs, batch_format="numpy")
+    # int-bucket shuffle: _pairs segments by l_orderkey internally, so one
+    # task per bucket (not one Python call per order) — the same
+    # pre-combine pattern as supplier_customer_edges
+    n_buckets = 32
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        # n_buckets is a power of two: x % n == x & (n-1)
+        return t.append_column(
+            "bucket", pc.bit_wise_and(t["l_orderkey"], n_buckets - 1)
+        )
+
+    def _pairs_bucket(group: dict) -> dict:
+        out = _pairs(group)
+        # per-bucket pre-combine: identical (a, b) pairs collapse here,
+        # and (a, b) pairs never span buckets... they can (same pair from
+        # orders in different buckets) — so keep the global dedup below,
+        # it just shuffles far fewer rows after this local unique
+        ab = np.stack([out["a"], out["b"]], 1)
+        uniq = np.unique(ab, axis=0) if len(ab) else ab.reshape(0, 2)
+        return {"a": uniq[:, 0], "b": uniq[:, 1]}
+
+    pairs = (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_pairs_bucket, batch_format="numpy")
+    )
     return (
         pairs.groupby(["a", "b"])
         .aggregate(Count(alias_name="_n"))
