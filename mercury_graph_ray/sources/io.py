@@ -56,6 +56,65 @@ def write_parquet(ds, path, **kw):
     return ds.write_parquet(path, **kw)
 
 
+def write_parquet_resumable(ds, path, partition_col: str):
+    """Partitioned parquet write a failed run can resume.
+
+    Layout: ``path/<partition_col>=<value>/*.parquet`` plus a ``_DONE``
+    marker per completed partition directory. On a rerun:
+
+    1. partition dirs WITHOUT a marker are partial output from the failed
+       attempt — they are deleted;
+    2. rows whose partition value already has a marker are filtered out
+       BEFORE the write (the skip happens at the stream, nothing is
+       re-shuffled or re-written);
+    3. the remaining rows are written, then every partition dir present
+       gets its marker.
+
+    Markers are written only after ``write_parquet`` returns, so a crash
+    mid-write never marks a partition done. Returns the list of partition
+    values written by THIS call (empty when everything was already done).
+    """
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    done: set[str] = set()
+    prefix = f"{partition_col}="
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            d = os.path.join(path, name)
+            if not (os.path.isdir(d) and name.startswith(prefix)):
+                continue
+            if os.path.exists(os.path.join(d, "_DONE")):
+                done.add(name[len(prefix):])
+            else:
+                shutil.rmtree(d)  # partial partition from a failed run
+
+    if done:
+        done_arr = pa.array(sorted(done))
+
+        def _skip(t: pa.Table) -> pa.Table:
+            vals = pc.cast(t[partition_col], pa.string())
+            return t.filter(pc.invert(pc.is_in(vals, value_set=done_arr)))
+
+        ds = ds.map_batches(_skip, batch_format="pyarrow")
+
+    ds.write_parquet(path, partition_cols=[partition_col])
+
+    written = []
+    for name in os.listdir(path):
+        d = os.path.join(path, name)
+        if os.path.isdir(d) and name.startswith(prefix):
+            val = name[len(prefix):]
+            if val not in done:
+                written.append(val)
+                with open(os.path.join(d, "_DONE"), "w"):
+                    pass
+    return sorted(written)
+
+
 def write_csv(ds, path, **kw):
     return ds.write_csv(path, **kw)
 

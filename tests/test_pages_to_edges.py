@@ -73,3 +73,34 @@ def test_vertex_dict_stable_under_parallelism(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(m1, m2)
+
+
+def test_write_parquet_resumable(ray_session, tmp_path):
+    """A rerun deletes unfinished partition dirs, skips finished ones, and
+    the final table equals a clean one-shot write."""
+    import os
+    import shutil
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from mercury_graph_ray.sources.io import write_parquet_resumable
+
+    df = pd.DataFrame({"k": [0, 0, 1, 1, 2, 2], "v": list("abcdef")})
+    out = str(tmp_path / "resume")
+    first = write_parquet_resumable(rd.from_pandas(df), out, "k")
+    assert first == ["0", "1", "2"]
+
+    # simulate a failed run: one partition finished-but-remarked-undone
+    # (partial) and one fully intact
+    shutil.rmtree(os.path.join(out, "k=1"))          # lost entirely
+    os.remove(os.path.join(out, "k=2", "_DONE"))     # partial (no marker)
+
+    second = write_parquet_resumable(rd.from_pandas(df), out, "k")
+    assert second == ["1", "2"]                      # k=0 skipped
+
+    got = pq.read_table(out).to_pandas()
+    got["k"] = got["k"].astype(int)
+    got = got.sort_values(["k", "v"]).reset_index(drop=True)[["k", "v"]]
+    assert got.values.tolist() == df.values.tolist()
