@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top5_vec0": td.knn_top5_vec0,
         "knn_ivf_top5_vec0": td.knn_ivf_top5_vec0,
         "docs_ngram_jaccard_consecutive": td.docs_ngram_jaccard_consecutive,
+        "events_user_cardinality_hll": td.events_user_cardinality_hll,
     }
 
 

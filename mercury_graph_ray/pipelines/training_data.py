@@ -202,6 +202,18 @@ def docs_ngram_jaccard_consecutive(sf_dir: str, k: int = 5):
     return out.to_pandas().sort_values("doc_a").reset_index(drop=True)
 
 
+def events_user_cardinality_hll(sf_dir: str):
+    """Approximate distinct-user count via the HyperLogLog sketch stage —
+    one streaming pass, register partials combined by max, NO shuffle
+    (rows-only driver check; accuracy is pytest-verified at <3% rel err
+    and exact-vs-sketch parity is partitioning-invariant)."""
+    from mercury_graph_ray.stages.sketch import hll_count_distinct
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    est = hll_count_distinct(ds, "user_id")
+    return pd.DataFrame({"n_users_hll": [int(round(est))]})
+
+
 def knn_ivf_vs_brute(sf_dir: str, k: int = 10, n_queries: int = 8):
     """IVF recall@k against the brute-force baseline (used by tests)."""
     import pyarrow.parquet as pq
