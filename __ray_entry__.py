@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_top5_vec0": td.knn_ivf_top5_vec0,
         "docs_ngram_jaccard_consecutive": td.docs_ngram_jaccard_consecutive,
         "events_user_cardinality_hll": td.events_user_cardinality_hll,
+        "docs_top_tokens": td.docs_top_tokens,
     }
 
 
@@ -433,6 +434,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, round(sim, 4) AS cosine,
                    CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
             FROM scored ORDER BY sim DESC, vec_id LIMIT 5
+        """,
+        "docs_top_tokens": """
+            SELECT t AS token, count(*) AS n
+            FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS t
+                  FROM documents)
+            WHERE t <> ''
+            GROUP BY t
+            ORDER BY n DESC, token LIMIT 20
         """,
         "docs_ngram_jaccard_consecutive": """
             WITH norm AS (

@@ -202,6 +202,38 @@ def docs_ngram_jaccard_consecutive(sf_dir: str, k: int = 5):
     return out.to_pandas().sort_values("doc_a").reset_index(drop=True)
 
 
+def docs_top_tokens(sf_dir: str, k: int = 20):
+    """Top-k tokens by corpus frequency — the canonical word-count:
+    per-batch value_counts pre-combine (a batch of B docs collapses to
+    its distinct tokens before the shuffle), one groupby-sum, top-k with
+    a deterministic (n desc, token asc) tiebreak."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def _tok(t: pa.Table) -> pa.Table:
+        s = pd.Series(t["text"].to_pylist()).fillna("")
+        vc = s.str.split().explode().dropna().value_counts()
+        return pa.table(
+            {
+                "token": pa.array(vc.index.astype(str)),
+                "n": pa.array(vc.to_numpy(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_tok, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return (
+        agg.to_pandas()
+        .sort_values(["n", "token"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
 def events_user_cardinality_hll(sf_dir: str):
     """Approximate distinct-user count via the HyperLogLog sketch stage —
     one streaming pass, register partials combined by max, NO shuffle
