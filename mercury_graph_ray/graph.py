@@ -50,8 +50,38 @@ class Graph:
     """
 
     def __init__(self, data=None, keys: dict | None = None, nodes=None):
+        if data is None:
+            # reference contract (core/graph.py:176-183 via
+            # unit_tests/test_core_graph.py:301-302): an empty Graph is an
+            # error, not an empty container
+            raise ValueError("a Graph cannot be created without data")
+        self._init_keys = dict(keys) if keys else None
         keys = dict(keys or {})
-        self.directed: bool = bool(keys.pop("directed", True))
+        directed_default = True
+
+        # networkx ingestion (reference core/graph.py accepts nx graphs):
+        # edge attrs become edge columns, node attrs a nodes table
+        try:
+            import networkx as nx
+
+            is_nx = isinstance(data, nx.Graph)
+        except ImportError:  # pragma: no cover - nx is installed here
+            is_nx = False
+        if is_nx:
+            import networkx as nx
+            import pandas as pd
+
+            directed_default = data.is_directed()
+            edf = nx.to_pandas_edgelist(data)
+            edf = edf.rename(columns={"source": "src", "target": "dst"})
+            ndata = [(n, dict(a)) for n, a in data.nodes(data=True)]
+            if nodes is None and any(a for _, a in ndata):
+                nodes = pd.DataFrame(
+                    [{"id": n, **a} for n, a in ndata]
+                )
+            data = edf
+
+        self.directed: bool = bool(keys.pop("directed", directed_default))
         src_in = keys.get("src", "src")
         dst_in = keys.get("dst", "dst")
         weight_in = keys.get("weight", None)
@@ -378,8 +408,38 @@ class Graph:
     def edges_as_pandas(self):
         return self._edges.to_pandas()
 
-    def __repr__(self):
+    # reference-surface aliases (core/graph.py exposes is_directed /
+    # is_weighted; unit_tests/test_core_graph.py:421 calls g.is_directed)
+    @property
+    def is_directed(self) -> bool:
+        return self.directed
+
+    @property
+    def is_weighted(self) -> bool:
+        return self.weighted
+
+    def __str__(self):
+        """Reference convention (test_core_graph.py:318-321): counts plus
+        capability flags. Triggers the two count jobs — same as the
+        reference, which also counts on str()."""
         return (
-            f"Graph(directed={self.directed}, weighted={self.weighted}, "
-            f"edges={self._edges.schema().names})"
+            f"Graph with {self.number_of_nodes} nodes and "
+            f"{self.number_of_edges} edges\n"
+            f"  is_directed: {self.directed}  is_weighted: {self.weighted}  "
+            f"has_networkx: {'networkx' in self._cache}  "
+            f"has_graphframe: False  has_dgl: False"
+        )
+
+    def __repr__(self):
+        """Schema-level summary (the reference dumps the full input frames,
+        test_core_graph.py:323-326 — at engine scale we show column names
+        and the keys mapping instead)."""
+        nodes = (
+            " ".join(self._nodes.schema().names)
+            if (self._nodes is not None and not self._nodes_inferred)
+            else None
+        )
+        return (
+            f"Graph(data={' '.join(self._edges.schema().names)}, "
+            f"keys={self._init_keys!r}, nodes={nodes})"
         )

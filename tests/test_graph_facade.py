@@ -122,3 +122,48 @@ def test_representation_properties(ray_session):
         g.graphframe
     with pytest.raises(ImportError):
         g.dgl  # dgl/torch absent in this container
+
+
+def test_empty_graph_raises(ray_session):
+    """test_core_graph.py:301-302: Graph() is a ValueError."""
+    import pytest
+
+    with pytest.raises(ValueError):
+        Graph()
+
+
+def test_graph_from_networkx(ray_session):
+    """test_core_graph.py:330-350: build a Graph FROM an nx graph —
+    same node/edge counts, directedness inherited, attrs preserved."""
+    import networkx as nx
+
+    edges, nodes = toy_social()
+    g = Graph(edges, {"src": "Person_A", "dst": "Person_B",
+                      "weight": "Duration", "id": "Name"}, nodes)
+    nxg = g.networkx
+    g2 = Graph(nxg)
+    assert g2.number_of_nodes == 7
+    assert g2.number_of_edges == 10
+    assert g2.is_directed is True
+    assert g2.is_weighted is True  # weight attr survives the round-trip
+
+    und = Graph(nx.Graph([(1, 2), (2, 3)]))
+    assert und.is_directed is False
+    assert und.number_of_edges == 2
+
+
+def test_str_and_repr_convention(ray_session):
+    """test_core_graph.py:318-326 shape: counts + flags in str, data/keys/
+    nodes summary in repr."""
+    edges, nodes = toy_social()
+    keys = {"src": "Person_A", "dst": "Person_B", "weight": "Duration", "id": "Name"}
+    g = Graph(edges, keys, nodes)
+    s = str(g).replace(" ", "").replace("\n", "")
+    assert "7nodesand10edges" in s
+    assert "s_directed:True" in s and "is_weighted:True" in s
+    r = repr(g).replace(" ", "")
+    assert "keys={'src'" in r
+    assert "nodes=idRole" in r
+
+    g2 = Graph(edges, keys)  # no nodes table
+    assert "nodes=None" in repr(g2).replace(" ", "")
