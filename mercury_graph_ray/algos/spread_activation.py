@@ -63,8 +63,16 @@ class SpreadingActivation(BaseClass):
         self.n_parts = n_parts
         self.workdir = workdir
 
-    def fit(self, g, seed_nodes: list) -> "SpreadingActivation":
+    def fit(self, g, seed_nodes) -> "SpreadingActivation":
         import ray
+
+        # reference surface (unit_tests/test_ml_spark_spreadactivation.py:68-87):
+        # seed_nodes may be a list of ids OR a one-column frame/Dataset
+        if hasattr(seed_nodes, "to_pandas") and not isinstance(seed_nodes, pd.DataFrame):
+            seed_nodes = seed_nodes.to_pandas()
+        if isinstance(seed_nodes, pd.DataFrame):
+            col = "id" if "id" in seed_nodes.columns else seed_nodes.columns[0]
+            seed_nodes = seed_nodes[col].tolist()
 
         vd, gas = prepare(g, symmetrize=False, n_parts=self.n_parts, workdir=self.workdir)
         p, n = gas.p, gas.n

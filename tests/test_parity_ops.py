@@ -156,3 +156,24 @@ def test_spread_activation_influenced_by_random_graph(ray_session):
     assert len(res) == len(nodes)
     for v in nodes:
         assert set(res[v]) == cur[v], v
+
+
+def test_spread_activation_seed_nodes_as_frame(ray_session):
+    """Reference surface (test_ml_spark_spreadactivation.py:68-87):
+    seed_nodes as a one-column DataFrame behaves like the list form, and
+    total influence equals the seed count."""
+    import pandas as pd
+
+    from mercury_graph_ray.algos.spread_activation import SpreadingActivation
+
+    sa_list = SpreadingActivation(spreading_steps=2).fit(
+        influence_graph(), seed_nodes=["C", "D"]
+    )
+    sa_df = SpreadingActivation(spreading_steps=2).fit(
+        influence_graph(), seed_nodes=pd.DataFrame({"id": ["C", "D"]})
+    )
+    a = sa_list.influences_.to_pandas().sort_values("id").reset_index(drop=True)
+    b = sa_df.influences_.to_pandas().sort_values("id").reset_index(drop=True)
+    assert a["id"].tolist() == b["id"].tolist()
+    assert (a["influence"] - b["influence"]).abs().max() < 1e-12
+    assert round(float(a["influence"].sum()), 3) == 2.0
