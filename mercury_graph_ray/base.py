@@ -28,10 +28,25 @@ class BaseClass:
 
     def __str__(self) -> str:
         params = ", ".join(f"{k}={v}" for k, v in self.get_params().items())
-        return "\n".join(
-            [
-                f"Object of class {self.__class__.__name__}.",
-                "",
-                f"Initialization parameters: {params}",
-            ]
+        lines = [
+            f"Object of class {self.__class__.__name__}.",
+            "",
+            f"Initialization parameters: {params}",
+        ]
+        # reference convention: str() grows after fit (ml/louvain.py:93-105,
+        # spark_randomwalker.py:39-47, spectral.py:43-55) — report fitted
+        # trailing-underscore attributes, with the reference's wording for
+        # the well-known ones
+        fitted = sorted(
+            k for k in vars(self) if k.endswith("_") and not k.startswith("_")
         )
+        if fitted:
+            lines.append("")
+            if "labels_" in fitted:
+                lines.append("Cluster assignments are available in attribute `labels_`")
+            if "paths_" in fitted:
+                lines.append("Random walk paths are available in attribute `paths_`.")
+            if "modularity_" in fitted:
+                lines.append(f"Modularity: {self.modularity_}")
+            lines.append(f"Fitted attributes: {', '.join(fitted)}")
+        return "\n".join(lines)

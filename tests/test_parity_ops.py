@@ -177,3 +177,21 @@ def test_spread_activation_seed_nodes_as_frame(ray_session):
     assert a["id"].tolist() == b["id"].tolist()
     assert (a["influence"] - b["influence"]).abs().max() < 1e-12
     assert round(float(a["influence"].sum()), 3) == 2.0
+
+
+def test_str_grows_after_fit(ray_session):
+    """Reference contract (test_ml_spark_randomwalker.py:20-25): str() of
+    an estimator is longer after fit and names the fitted attribute."""
+    import pandas as pd
+
+    from mercury_graph_ray.algos.randomwalk import RandomWalker
+    from mercury_graph_ray.graph import Graph
+
+    e = pd.DataFrame({"src": ["a", "b", "c"], "dst": ["b", "c", "a"],
+                      "weight": [1.0, 1.0, 1.0]})
+    rw = RandomWalker(num_epochs=2, n_parts=2)
+    before = len(str(rw))
+    rw.fit(Graph(e), source_id="a")
+    after = str(rw)
+    assert len(after) > before
+    assert "paths_" in after
