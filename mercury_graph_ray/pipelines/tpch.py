@@ -46,22 +46,50 @@ def q1_pricing_summary(sf_dir: str):
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def _derive(t: pa.Table) -> pa.Table:
-        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.append_column("disc_price", disc_price)
+    # per-batch pre-combine: the key space is tiny (|returnflag| x
+    # |linestatus| combos), so every block collapses to at most that many
+    # partial rows before the shuffle — the mean decomposes into
+    # (sum_disc, count) partials
+    def _partial(t: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        df = pd.DataFrame(
+            {
+                "l_returnflag": t["l_returnflag"].to_pandas(),
+                "l_linestatus": t["l_linestatus"].to_pandas(),
+                "sum_qty": t["l_quantity"].to_pandas(),
+                "sum_base_price": t["l_extendedprice"].to_pandas(),
+                "sum_disc_price": disc_price.to_pandas(),
+                "sum_disc": t["l_discount"].to_pandas(),
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("sum_qty", "sum"),
+            sum_base_price=("sum_base_price", "sum"),
+            sum_disc_price=("sum_disc_price", "sum"),
+            sum_disc=("sum_disc", "sum"),
+            count_order=("sum_disc", "size"),
+        )
+        g["count_order"] = g["count_order"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        ds.map_batches(_derive, batch_format="pyarrow")
+        ds.map_batches(_partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_discount", alias_name="avg_disc"),
-            Count(alias_name="count_order"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_disc_price", alias_name="sum_disc_price"),
+            Sum("sum_disc", alias_name="sum_disc"),
+            Sum("count_order", alias_name="count_order"),
         )
     )
     df = out.to_pandas().sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    df["avg_disc"] = df["sum_disc"] / df["count_order"]
+    df = df.drop(columns=["sum_disc"])
+    df = df[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+             "sum_disc_price", "avg_disc", "count_order"]]
     return _round_cols(df, {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2, "avg_disc": 4})
 
 
