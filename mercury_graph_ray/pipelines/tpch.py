@@ -97,7 +97,25 @@ def top10_customers_by_revenue(sf_dir: str):
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    out = ds.groupby("o_custkey").aggregate(Sum("o_totalprice", alias_name="revenue"))
+
+    # per-batch pre-combine: a block's rows collapse to its distinct
+    # custkeys before the exchange
+    def _partial(t: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {"o_custkey": t["o_custkey"].to_pandas(),
+                 "revenue": t["o_totalprice"].to_pandas()}
+            )
+            .groupby("o_custkey", as_index=False)["revenue"]
+            .sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
     df = out.to_pandas()
     df = _round_cols(df, {"revenue": 2})
     return (
@@ -113,13 +131,27 @@ def events_hourly(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
-    def _trunc(t: pa.Table) -> pa.Table:
-        return t.append_column("hour", pc.floor_temporal(t["ts"], unit="hour"))
+    # per-batch pre-combine on (hour, event_type): the key count is tiny
+    # relative to rows, so the shuffle moves partials, not events
+    def _partial(t: pa.Table) -> pa.Table:
+        g = (
+            pd.DataFrame(
+                {
+                    "hour": pc.floor_temporal(t["ts"], unit="hour").to_pandas(),
+                    "event_type": t["event_type"].to_pandas(),
+                    "value": t["value"].to_pandas(),
+                }
+            )
+            .groupby(["hour", "event_type"], as_index=False)
+            .agg(n=("value", "size"), sum_value=("value", "sum"))
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     out = (
-        ds.map_batches(_trunc, batch_format="pyarrow")
+        ds.map_batches(_partial, batch_format="pyarrow")
         .groupby(["hour", "event_type"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
     )
     df = out.to_pandas().sort_values(["hour", "event_type"]).reset_index(drop=True)
     return _round_cols(df, {"sum_value": 4})
