@@ -84,7 +84,8 @@ def run_bench() -> dict:
     pr = PageRank(n_parts=N_PARTS).fit(g)
     pr_sec = time.time() - t0
     queries["pagerank_pages"] = round(pr_sec, 3)
-    queries["pagerank_n_iter"] = pr.n_iter_
+    queries["pagerank_n_iter"] = pr.n_iter_  # iterations-to-convergence
+    queries["pagerank_converged_tol1e-6"] = int(pr.converged_)
     queries["pagerank_edges_per_sec_per_superstep"] = round(
         n_edges * pr.n_iter_ / pr_sec, 1
     )
