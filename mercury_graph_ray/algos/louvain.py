@@ -256,7 +256,7 @@ class LouvainCommunities(BaseClass):
             le, rename_cols(partition, {"id": "dst", "c": "cDst"}), on=("dst",)
         )
 
-    def _modularity(self, edges, partition, m):
+    def _modularity(self, edges, partition, m, degrees=None):
         le = self._label_edges(edges, partition).materialize()
 
         def _kin(t: pa.Table) -> pa.Table:
@@ -266,7 +266,9 @@ class LouvainCommunities(BaseClass):
             return pa.table({"w": pa.array([float(w[cs == cd].sum())])})
 
         k_in = le.map_batches(_kin, batch_format="pyarrow").sum("w") or 0.0
-        ld = _join(self._degrees(edges), partition, on=("id",))
+        if degrees is None:
+            degrees = self._degrees(edges)
+        ld = _join(degrees, partition, on=("id",))
         # sum of squared community degrees, computed distributed — early
         # passes have ~|V| communities, never pull that table to the driver
         kc = _sum_by(ld, "c", "degree", "kC")
@@ -281,9 +283,15 @@ class LouvainCommunities(BaseClass):
         norm = 1.0 / (2 * m)
         return (k_in / m) - (norm**2 * k_out)
 
-    def _reassign_all(self, edges, partition, m, n_buckets=16):
-        """One synchronous reassignment pass -> (id, cx, cj)."""
-        ld = _join(self._degrees(edges), partition, on=("id",))  # id, degree, c
+    def _reassign_all(self, edges, partition, m, n_buckets=16, degrees=None):
+        """One synchronous reassignment pass -> (id, cx, cj).
+
+        ``degrees`` lets the caller reuse the per-pass materialized degree
+        table — edges are static within a pass, so recomputing the degree
+        shuffle every iteration is pure waste."""
+        if degrees is None:
+            degrees = self._degrees(edges)
+        ld = _join(degrees, partition, on=("id",))  # id, degree, c
         ck = _sum_by(ld, "c", "degree", "cx_sum_ki")
         ld = _join(ld, ck, on=("c",)).materialize()
         le = self._label_edges(edges, partition).materialize()
@@ -490,9 +498,13 @@ class LouvainCommunities(BaseClass):
             if _pass == 0:
                 ids0 = p.select_columns(["id"]).materialize()
 
+            # degrees are constant within a pass (edges only change at
+            # coarsening): one shuffle per pass, reused every iteration
+            degs = self._degrees(edges).materialize()
+
             for _iter in range(self.max_iter):
                 p2 = ensure_schema(
-                    self._reassign_all(edges, p, m),
+                    self._reassign_all(edges, p, m, degrees=degs),
                     {"id": pa.int64(), "cx": pa.int64(), "cj": pa.int64()},
                 ).materialize()
                 changed = p2.map_batches(
@@ -513,7 +525,7 @@ class LouvainCommunities(BaseClass):
                 if changed == 0:
                     break
 
-            modularity1 = self._modularity(edges, p, m)
+            modularity1 = self._modularity(edges, p, m, degrees=degs)
             can_pass = (modularity1 - modularity0 > self.min_modularity_gain) and (
                 _pass < self.max_pass
             )
