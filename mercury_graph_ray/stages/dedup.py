@@ -131,6 +131,32 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def _segment_pairs(seg: np.ndarray, doc: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-segment unordered pairs, fully vectorized.
+
+    Sorts (seg, doc), then for each element emits pairs against every
+    later element of its segment via the grouped-arange trick — the same
+    kernel as the part co-occurrence pair explode. Returned (a, b) have
+    a < b (docs are sorted within each segment)."""
+    e = np.empty(0, np.int64)
+    if len(doc) < 2:
+        return e, e
+    order = np.lexsort((doc, seg))
+    seg, doc = seg[order], doc[order]
+    starts = np.flatnonzero(np.concatenate([[True], seg[1:] != seg[:-1]]))
+    sizes = np.diff(np.concatenate([starts, [len(seg)]]))
+    pos = np.arange(len(seg)) - np.repeat(starts, sizes)
+    left_counts = np.repeat(sizes, sizes) - 1 - pos
+    total = int(left_counts.sum())
+    if total == 0:
+        return e, e
+    left = np.repeat(doc, left_counts)
+    run_starts = np.cumsum(left_counts) - left_counts
+    offset = np.arange(total) - np.repeat(run_starts, left_counts)
+    right = doc[np.repeat(np.arange(len(doc)) + 1, left_counts) + offset]
+    return left, right
+
+
 class MinHasher:
     """Actor-pool stage: docs batch -> (id, sig: fixed list<uint64>)."""
 
@@ -274,20 +300,61 @@ def minhash_lsh_pairs(
         return pa.table({"band": pa.array(band_ids), "bhash": pa.array(bh),
                          "doc": pa.array(doc_ids.astype(np.int64))})
 
-    def _bucket_pairs(group: dict) -> dict:
-        docs = np.unique(np.asarray(group["doc"], np.int64))
-        if len(docs) < 2:
-            e = np.array([], np.int64)
-            return {"a": e, "b": e}
-        ii, jj = np.triu_indices(len(docs), k=1)
-        return {"a": docs[ii], "b": docs[jj]}
+    # ONE task per int bucket, with the (band, bhash) segmentation done
+    # vectorized inside the task — NOT one Python call per LSH bucket
+    # (1e9 docs x bands buckets) nor per candidate pair
+    n_shuffle_buckets = 64
+
+    def _with_bkt(t: pa.Table) -> pa.Table:
+        band = t["band"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        bh = t["bhash"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (band * np.uint64(0x9E3779B97F4A7C15)) ^ bh
+        h ^= h >> np.uint64(33)
+        return t.append_column(
+            "__bkt", pa.array((h % np.uint64(n_shuffle_buckets)).astype(np.int64))
+        )
+
+    def _pairs_in_buckets(group: pd.DataFrame) -> pd.DataFrame:
+        """All within-(band,bhash) doc pairs, segmented-vectorized."""
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
+        )
+        band = group["band"].to_numpy(np.int64)
+        bh = group["bhash"].to_numpy(np.int64)
+        doc = group["doc"].to_numpy(np.int64)
+        if len(doc) < 2:
+            return empty
+        _, seg = np.unique(np.stack([band, bh], 1), axis=0, return_inverse=True)
+        a, b = _segment_pairs(seg, doc)
+        if not len(a):
+            return empty
+        # a < b holds: docs sorted within each segment, left pos < right pos
+        return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+
+    def _dedup_pairs_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return group[["a", "b"]].drop_duplicates()
 
     cand = ensure_schema(
         sigs.map_batches(_bands, batch_format="pyarrow", batch_size=None)
-        .groupby(["band", "bhash"])
-        .map_groups(_bucket_pairs, batch_format="numpy")
-        .groupby(["a", "b"])
-        .map_groups(lambda g: {"a": g["a"][:1], "b": g["b"][:1]}, batch_format="numpy"),
+        .map_batches(_with_bkt, batch_format="pyarrow")
+        .groupby("__bkt")
+        .map_groups(_pairs_in_buckets, batch_format="pandas")
+        # cross-band duplicates of the same pair land in different __bkt
+        # groups: one more int-bucket pass dedups globally (a is already
+        # an int key — 16 tasks, vectorized drop_duplicates inside)
+        .map_batches(
+            lambda t: t.append_column(
+                "__pb",
+                pa.array(
+                    (t["a"].combine_chunks().to_numpy(zero_copy_only=False) % 16).astype(
+                        np.int64
+                    )
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("__pb")
+        .map_groups(_dedup_pairs_bucket, batch_format="pandas"),
         {"a": pa.int64(), "b": pa.int64()},
     ).materialize()  # tiny (candidate pairs); breaks the mega-plan — one
     # streaming DAG with 4 chained hash-joins stalls the local executor
@@ -355,18 +422,38 @@ def minhash_lsh_pairs(
 
     expanded = e2.map_batches(_orient, batch_format="pyarrow", batch_size=None)
 
-    # within-group pairs: identical docs (est 1.0 by construction)
-    def _within(g: dict) -> dict:
-        docs = np.sort(np.asarray(g["doc"], np.int64))
-        if len(docs) < 2:
-            e = np.array([], np.int64)
-            return {"a": e, "b": e, "est_jaccard": np.array([], np.float64)}
-        ii, jj = np.triu_indices(len(docs), k=1)
-        return {"a": docs[ii], "b": docs[jj],
-                "est_jaccard": np.ones(len(ii), np.float64)}
+    # within-group pairs: identical docs (est 1.0 by construction).
+    # Shuffle into int buckets and segment by rep inside — NOT one Python
+    # call per rep group (there is one group per distinct document)
+    def _dup_only(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pa.compute.not_equal(t["doc"], t["rep"])
+        )  # non-trivial groups only; reps rejoin via their members below
+        return t
+
+    dup_members = members.map_batches(_dup_only, batch_format="pyarrow")
+
+    def _with_rep_bkt(t: pa.Table) -> pa.Table:
+        r = t["rep"].combine_chunks().to_numpy(zero_copy_only=False)
+        return t.append_column("__bkt", pa.array((r % 32).astype(np.int64)))
+
+    def _within_bkts(g: pd.DataFrame) -> pd.DataFrame:
+        # reconstruct each group as (rep + its non-rep members): the rep
+        # itself was filtered out, so re-add one row per distinct rep
+        doc = g["doc"].to_numpy(np.int64)
+        rep = g["rep"].to_numpy(np.int64)
+        ureps = np.unique(rep)
+        doc = np.concatenate([doc, ureps])
+        rep = np.concatenate([rep, ureps])
+        a, b = _segment_pairs(rep, doc)
+        return pd.DataFrame(
+            {"a": a, "b": b, "est_jaccard": np.ones(len(a), np.float64)}
+        )
 
     within = ensure_schema(
-        members.groupby("rep").map_groups(_within, batch_format="numpy"),
+        dup_members.map_batches(_with_rep_bkt, batch_format="pyarrow")
+        .groupby("__bkt")
+        .map_groups(_within_bkts, batch_format="pandas"),
         {"a": pa.int64(), "b": pa.int64(), "est_jaccard": pa.float64()},
     )
     out_schema = {"a": pa.int64(), "b": pa.int64(), "est_jaccard": pa.float64()}
