@@ -201,16 +201,26 @@ def _member_map(ds, text_col: str, id_col: str):
             }
         )
 
-    def _groups(g: dict) -> dict:
-        docs = np.sort(np.asarray(g["doc"], np.int64))
-        return {"doc": docs, "rep": np.full(len(docs), docs[0], np.int64)}
+    # int-bucket shuffle on the content hash, per-hash rep assignment
+    # vectorized inside each bucket task — NOT one Python call per
+    # distinct content (there is ~one group per document at corpus scale)
+    def _with_bkt(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(batch["content_hash"], index=False)
+        batch["__bkt"] = (h.to_numpy(np.uint64) % np.uint64(64)).astype(np.int64)
+        return batch
+
+    def _groups_bkt(g: pd.DataFrame) -> pd.DataFrame:
+        rep = g.groupby("content_hash")["doc"].transform("min")
+        return pd.DataFrame({"doc": g["doc"].to_numpy(np.int64),
+                             "rep": rep.to_numpy(np.int64)})
 
     from mercury_graph_ray.stages.util import ensure_schema
 
     return ensure_schema(
         ds.map_batches(_hash, batch_format="pandas")
-        .groupby("content_hash")
-        .map_groups(_groups, batch_format="numpy"),
+        .map_batches(_with_bkt, batch_format="pandas")
+        .groupby("__bkt")
+        .map_groups(_groups_bkt, batch_format="pandas"),
         {"doc": pa.int64(), "rep": pa.int64()},
     ).materialize()
 

@@ -21,6 +21,7 @@ memory, and a hash-partitioned ``Dataset.join`` otherwise.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -161,9 +162,23 @@ class VertexDict:
                     )
                 ).materialize()
                 return cls(mapping, n, keys=keys)
-        mapping = build_dictionary(pb.groupby("id").map_groups(
-            lambda g: {"id": g["id"][:1]}, batch_format="numpy"
-        ))
+        # distinct ids via per-batch unique + int-bucket shuffle + in-bucket
+        # pandas dedup — NOT groupby(id).map_groups, which makes one Python
+        # call per vertex on the scale path
+        def _bkt(t: pa.Table) -> pa.Table:
+            s = t["id"].to_pandas().drop_duplicates()
+            h = pd.util.hash_pandas_object(s, index=False).to_numpy(np.uint64)
+            return pa.table(
+                {
+                    "id": pa.Array.from_pandas(s, type=t.schema.field("id").type),
+                    "__bkt": pa.array((h % np.uint64(64)).astype(np.int64)),
+                }
+            )
+
+        distinct = pb.map_batches(_bkt, batch_format="pyarrow").groupby("__bkt").map_groups(
+            lambda g: g[["id"]].drop_duplicates(), batch_format="pandas"
+        )
+        mapping = build_dictionary(distinct)
         return cls(mapping, mapping.count())
 
     def encode_edges(self, edges, cols=("src", "dst")):

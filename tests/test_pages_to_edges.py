@@ -104,3 +104,33 @@ def test_write_parquet_resumable(ray_session, tmp_path):
     got["k"] = got["k"].astype(int)
     got = got.sort_values(["k", "v"]).reset_index(drop=True)[["k", "v"]]
     assert got.values.tolist() == df.values.tolist()
+
+
+def test_vertex_dict_distributed_path_matches_broadcast(ray_session, monkeypatch):
+    """Force the beyond-broadcast dictionary build (int-bucket distinct +
+    sorted zip-with-index) and check it assigns the exact same (id, vid)
+    mapping as the broadcast fast path."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    import mercury_graph_ray.stages.ids as ids_mod
+    from mercury_graph_ray.stages.ids import VertexDict
+
+    rng = np.random.default_rng(5)
+    edges = pd.DataFrame(
+        {
+            "src": rng.integers(0, 300, 2000),
+            "dst": rng.integers(0, 300, 2000),
+        }
+    )
+    ds = rd.from_pandas(edges).repartition(5)
+
+    fast = VertexDict.from_edges(ds).mapping.to_pandas()
+    monkeypatch.setattr(ids_mod, "BROADCAST_MAX_VERTICES", 7)
+    slow = VertexDict.from_edges(ds).mapping.to_pandas()
+
+    f = fast.sort_values("id").reset_index(drop=True)
+    s = slow.sort_values("id").reset_index(drop=True)
+    assert f["id"].tolist() == s["id"].tolist()
+    assert f["vid"].tolist() == s["vid"].tolist()
