@@ -39,15 +39,24 @@ def distinct_vertices(edges, src: str = "src", dst: str = "dst", extra_ids=None)
     full node set, mercury/graph/core/graph.py:681-720, so edge-free
     vertices must still get ranks / singleton components).
     """
-    from ray.data.aggregate import Count
+    pb = _per_batch_unique(edges, src, dst, extra_ids=extra_ids)
 
-    s = edges.select_columns([src]).rename_columns({src: "id"})
-    d = edges.select_columns([dst]).rename_columns({dst: "id"})
-    u = s.union(d)
-    if extra_ids is not None:
-        u = u.union(extra_ids.select_columns(["id"]))
-    uniq = u.groupby("id").aggregate(Count(alias_name="_n"))
-    return uniq.select_columns(["id"])
+    def _bkt(t: pa.Table) -> pa.Table:
+        s = t["id"].to_pandas()
+        h = pd.util.hash_pandas_object(s, index=False).to_numpy(np.uint64)
+        return t.append_column("__bkt", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    out = (
+        pb.map_batches(_bkt, batch_format="pyarrow")
+        .groupby("__bkt")
+        .map_groups(lambda g: g[["id"]].drop_duplicates(), batch_format="pandas")
+    )
+    from mercury_graph_ray.stages.util import ensure_schema
+
+    # _per_batch_unique casts src to dst's type before the union
+    return ensure_schema(
+        out, {"id": edges.schema().types[edges.schema().names.index(dst)]}
+    )
 
 
 def build_dictionary(vertex_ds):
