@@ -133,12 +133,10 @@ class SpreadingActivation(BaseClass):
         import ray.data as rd
 
         keys_ref = vd._broadcast_ref  # vid -> original key (sorted-key array)
-        if track and keys_ref is None:
-            raise NotImplementedError(
-                "influenced_by=True requires the broadcast vertex dictionary "
-                "(seed-set payloads are O(edges x |reached seeds|); documented "
-                "small-graph mode)"
-            )
+        # when the dictionary exceeds the broadcast cap, the final
+        # influenced_by decode runs as a distributed explode -> hash_join
+        # -> bucketed regroup instead (see end of fit). Payload size is
+        # still O(edges x |reached seeds|) — inherent to the semantics.
 
         _EMPTY = np.empty(0, np.int64)
 
@@ -266,7 +264,7 @@ class SpreadingActivation(BaseClass):
 
         cols = ["id", "influence"] + (["influenced_by"] if track else [])
         res = state.select_columns(cols)
-        if track:
+        if track and keys_ref is not None:
             kref = keys_ref
 
             def _decode_infl(df: pd.DataFrame) -> pd.DataFrame:
@@ -278,6 +276,92 @@ class SpreadingActivation(BaseClass):
                 return df
 
             res = res.map_batches(_decode_infl, batch_format="pandas")
+        elif track:
+            res = self._decode_influenced_distributed(res, vd)
         self.influences_ = vd.decode(res, col="id")
         self.total_influence_ = float(state.sum("influence"))
         return self
+
+    @staticmethod
+    def _decode_influenced_distributed(res, vd):
+        """Decode the per-vertex seed-vid arrays without a broadcast
+        dictionary: explode (vertex, seed_vid), hash_join the seed vids
+        against the distributed mapping, and regroup per vertex in int
+        buckets (rows carrying influence ride the same shuffle, so no
+        list-typed join is needed)."""
+        import pyarrow as pa
+
+        from mercury_graph_ray.stages.join import hash_join
+        from mercury_graph_ray.stages.util import ensure_schema, rename_cols
+
+        def _explode(t: pa.Table) -> pa.Table:
+            ids = t["id"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            arrs = [np.asarray(x, np.int64) for x in t["influenced_by"].to_pylist()]
+            lens = np.fromiter((len(a) for a in arrs), np.int64, len(arrs))
+            flat = np.concatenate(arrs) if lens.sum() else np.empty(0, np.int64)
+            return pa.table(
+                {"row_vid": pa.array(np.repeat(ids, lens)),
+                 "vid": pa.array(flat.astype(np.uint64))}
+            )
+
+        exploded = ensure_schema(
+            res.map_batches(_explode, batch_format="pyarrow"),
+            {"row_vid": pa.int64(), "vid": pa.uint64()},
+        )
+        seed_keys = hash_join(exploded, vd.mapping, on=("vid",)).drop_columns(["vid"])
+        # union the influence rows (seed list absent) with the seed-key
+        # rows (influence absent) keyed by vertex, regroup per int bucket
+        infl = res.select_columns(["id", "influence"]).map_batches(
+            lambda t: pa.table(
+                {
+                    "row_vid": t["id"].cast(pa.int64()),
+                    "influence": t["influence"],
+                    "seed_key": pa.nulls(t.num_rows, pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        seeds = seed_keys.map_batches(
+            lambda t: pa.table(
+                {
+                    "row_vid": t["row_vid"],
+                    "influence": pa.nulls(t.num_rows, pa.float64()),
+                    "seed_key": pc.cast(t["id"], pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        u = infl.union(seeds).map_batches(
+            lambda t: t.append_column(
+                "__bkt",
+                pa.array(
+                    (
+                        t["row_vid"].combine_chunks().to_numpy(zero_copy_only=False)
+                        % 32
+                    ).astype(np.int64)
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+
+        def _regroup(g: pd.DataFrame) -> pd.DataFrame:
+            base = g.loc[g["influence"].notna(), ["row_vid", "influence"]]
+            sk = g.loc[g["seed_key"].notna(), ["row_vid", "seed_key"]]
+            lists = sk.groupby("row_vid")["seed_key"].apply(
+                lambda s: sorted(s.tolist())
+            )
+            out = base.rename(columns={"row_vid": "id"}).reset_index(drop=True)
+            out["influenced_by"] = [
+                lists.get(v, []) for v in out["id"].to_numpy(np.int64)
+            ]
+            out["id"] = out["id"].astype(np.uint64)
+            return out
+
+        return ensure_schema(
+            u.groupby("__bkt").map_groups(_regroup, batch_format="pandas"),
+            {
+                "id": pa.uint64(),
+                "influence": pa.float64(),
+                "influenced_by": pa.list_(pa.string()),
+            },
+        )

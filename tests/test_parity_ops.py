@@ -195,3 +195,28 @@ def test_str_grows_after_fit(ray_session):
     after = str(rw)
     assert len(after) > before
     assert "paths_" in after
+
+
+def test_influenced_by_distributed_decode_matches_broadcast(ray_session, monkeypatch):
+    """Force the beyond-broadcast dictionary: influenced_by must decode
+    via the distributed explode/join/regroup path to the same sets."""
+    from mercury_graph_ray.algos.spread_activation import SpreadingActivation
+
+    def _run():
+        sa = SpreadingActivation(spreading_steps=2, influenced_by=True).fit(
+            influence_graph(), seed_nodes=["A", "D"]
+        )
+        df = sa.influences_.to_pandas()
+        df["influenced_by"] = df["influenced_by"].map(
+            lambda a: tuple(sorted(map(str, a)))
+        )
+        return df.sort_values("id").reset_index(drop=True)
+
+    fast = _run()
+    import mercury_graph_ray.stages.ids as ids_mod
+
+    monkeypatch.setattr(ids_mod, "BROADCAST_MAX_VERTICES", 2)
+    slow = _run()
+    assert fast["id"].tolist() == slow["id"].tolist()
+    assert (fast["influence"] - slow["influence"]).abs().max() < 1e-12
+    assert fast["influenced_by"].tolist() == slow["influenced_by"].tolist()
