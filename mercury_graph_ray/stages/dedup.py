@@ -131,30 +131,44 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
-def _segment_pairs(seg: np.ndarray, doc: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def _segment_pair_positions(
+    seg: np.ndarray, doc: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """All within-segment unordered pairs, fully vectorized.
 
-    Sorts (seg, doc), then for each element emits pairs against every
+    Sorts (seg, doc) and, for each element, emits a pair against every
     later element of its segment via the grouped-arange trick — the same
-    kernel as the part co-occurrence pair explode. Returned (a, b) have
-    a < b (docs are sorted within each segment)."""
+    kernel as the part co-occurrence pair explode. Returns (li, ri,
+    order): left/right POSITIONS into the sorted arrays plus the sort
+    order, so callers can gather any payload (`doc[order][li]`, etc.).
+    `doc[order][li] < doc[order][ri]` within each segment."""
     e = np.empty(0, np.int64)
     if len(doc) < 2:
-        return e, e
+        return e, e, e
     order = np.lexsort((doc, seg))
-    seg, doc = seg[order], doc[order]
+    seg = seg[order]
     starts = np.flatnonzero(np.concatenate([[True], seg[1:] != seg[:-1]]))
     sizes = np.diff(np.concatenate([starts, [len(seg)]]))
     pos = np.arange(len(seg)) - np.repeat(starts, sizes)
     left_counts = np.repeat(sizes, sizes) - 1 - pos
     total = int(left_counts.sum())
     if total == 0:
-        return e, e
-    left = np.repeat(doc, left_counts)
+        return e, e, order
+    li = np.repeat(np.arange(len(seg)), left_counts)
     run_starts = np.cumsum(left_counts) - left_counts
     offset = np.arange(total) - np.repeat(run_starts, left_counts)
-    right = doc[np.repeat(np.arange(len(doc)) + 1, left_counts) + offset]
-    return left, right
+    ri = np.repeat(np.arange(len(seg)) + 1, left_counts) + offset
+    return li, ri, order
+
+
+def _segment_pairs(seg: np.ndarray, doc: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) doc-value pairs from :func:`_segment_pair_positions`."""
+    li, ri, order = _segment_pair_positions(seg, doc)
+    if not len(li):
+        e = np.empty(0, np.int64)
+        return e, e
+    ds_ = doc[order]
+    return ds_[li], ds_[ri]
 
 
 class MinHasher:
@@ -525,26 +539,45 @@ def simhash_pairs(ds, *, text_col="text", id_col="doc_id", max_hamming: int = 3)
         return {"band": band, "bhash": chunk.reshape(-1).astype(np.int64),
                 "doc": doc, "sh": full}
 
-    def _bucket_pairs(group: dict) -> dict:
-        doc = np.asarray(group["doc"], np.int64)
-        sh = np.asarray(group["sh"], np.uint64)
-        uniq, idx = np.unique(doc, return_index=True)
-        if len(uniq) < 2:
-            e = np.array([], np.int64)
-            return {"a": e, "b": e, "hamming": e}
-        sh = sh[idx]
-        ii, jj = np.triu_indices(len(uniq), k=1)
-        x = sh[ii] ^ sh[jj]
+    # fixed int-bucket shuffle with in-task (band, bhash) segmentation —
+    # one Python call per shuffle bucket, not per pigeonhole bucket
+    def _with_bkt(t: pa.Table) -> pa.Table:
+        band = t["band"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        bh = t["bhash"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (band * np.uint64(0x9E3779B97F4A7C15)) ^ bh
+        h ^= h >> np.uint64(33)
+        return t.append_column("__bkt", pa.array((h % np.uint64(64)).astype(np.int64)))
+
+    def _pairs_bkt(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {c: pd.Series([], dtype=np.int64) for c in ["a", "b", "hamming"]}
+        )
+        doc = g["doc"].to_numpy(np.int64)
+        if len(doc) < 2:
+            return empty
+        band = g["band"].to_numpy(np.int64)
+        bh = g["bhash"].to_numpy(np.int64)
+        sh = g["sh"].to_numpy(np.uint64)
+        _, seg = np.unique(np.stack([band, bh], 1), axis=0, return_inverse=True)
+        li, ri, order = _segment_pair_positions(seg, doc)
+        if not len(li):
+            return empty
+        ds_, ss_ = doc[order], sh[order]
+        a, b = ds_[li], ds_[ri]
+        x = ss_[li] ^ ss_[ri]
         ham = np.zeros(len(x), np.int64)
         while x.any():
             ham += (x & np.uint64(1)).astype(np.int64)
             x = x >> np.uint64(1)
-        return {"a": uniq[ii], "b": uniq[jj], "hamming": ham}
+        df = pd.DataFrame({"a": a, "b": b, "hamming": ham})
+        # local min per pair (same pair can surface from several bands)
+        return df.groupby(["a", "b"], as_index=False)["hamming"].min()
 
     pairs = (
         sigs.map_batches(_bands, batch_format="numpy")
-        .groupby(["band", "bhash"])
-        .map_groups(_bucket_pairs, batch_format="numpy")
+        .map_batches(_with_bkt, batch_format="pyarrow")
+        .groupby("__bkt")
+        .map_groups(_pairs_bkt, batch_format="pandas")
     )
     pairs = pairs.map_batches(
         lambda t: t.filter(pa.compute.less_equal(t["hamming"], max_hamming)),
