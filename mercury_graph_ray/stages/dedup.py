@@ -625,22 +625,38 @@ def embedding_dup_pairs(
             }
         )
 
-    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+    # fixed int-bucket shuffle + in-task signature segmentation (one
+    # Python call per shuffle bucket, not per 2^n_planes LSH bucket);
+    # per-pair cosines via a row-wise einsum over the gathered pairs
+    def _pairs_bkt(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
+            {"a": np.int64, "b": np.int64, "cosine": np.float64}
+        )
         if len(group) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []}).astype(
-                {"a": np.int64, "b": np.int64, "cosine": np.float64}
-            )
+            return empty
         ids = group[id_col].to_numpy(np.int64)
-        order = np.argsort(ids)
-        ids = ids[order]
+        seg = group["bucket"].to_numpy(np.int64)
+        li, ri, order = _segment_pair_positions(seg, ids)
+        if not len(li):
+            return empty
+        ids_s = ids[order]
         unit = np.stack(group["unit"].to_numpy())[order]
-        sims = unit @ unit.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        keep = sims[ii, jj] >= threshold
+        sims = np.einsum("ij,ij->i", unit[li], unit[ri])
+        keep = sims >= threshold
         return pd.DataFrame(
-            {"a": ids[ii[keep]], "b": ids[jj[keep]],
-             "cosine": np.round(sims[ii[keep], jj[keep]], 6)}
+            {"a": ids_s[li[keep]], "b": ids_s[ri[keep]],
+             "cosine": np.round(sims[keep], 6)}
         )
 
-    bucketed = ds.map_batches(_bucketize, batch_format="pyarrow")
-    return bucketed.groupby("bucket").map_groups(_pairs, batch_format="pandas")
+    bucketed = ds.map_batches(_bucketize, batch_format="pyarrow").map_batches(
+        lambda t: t.append_column(
+            "__bkt",
+            pa.array(
+                (
+                    t["bucket"].combine_chunks().to_numpy(zero_copy_only=False) % 64
+                ).astype(np.int64)
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    return bucketed.groupby("__bkt").map_groups(_pairs_bkt, batch_format="pandas")
