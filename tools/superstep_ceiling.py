@@ -25,10 +25,23 @@ N_EDGES_PER_PART = 4_000_000
 P = 8
 
 
+_barrier = None
+
+
+def _init(b):
+    global _barrier
+    _barrier = b
+
+
 def _kernel(_):
     rng = np.random.default_rng(0)
     idx = rng.integers(0, N_VERTS, N_EDGES_PER_PART)
     w = rng.random(N_EDGES_PER_PART)
+    # all P tasks start their timed window together — the BSP barrier
+    # means all partitions compute simultaneously, so an unsynchronized
+    # probe understates contention (staggered Pool starts let timed
+    # windows dodge each other at oversubscribed levels)
+    _barrier.wait()
     t0 = time.perf_counter()
     for _ in range(5):
         np.bincount(idx, weights=w, minlength=N_VERTS)
@@ -37,8 +50,9 @@ def _kernel(_):
 
 def run_level(cores: int) -> float:
     os.sched_setaffinity(0, set(range(cores)))
+    b = mp.Barrier(P)
     try:
-        with mp.Pool(P) as pool:
+        with mp.Pool(P, initializer=_init, initargs=(b,)) as pool:
             ts = pool.map(_kernel, range(P))
     finally:
         os.sched_setaffinity(0, set(range(os.cpu_count() or 32)))
