@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_supplier_customer": tpch.pagerank_supplier_customer,
         "pagerank_fixed20_supplier_customer": tpch.pagerank_fixed20_supplier_customer,
         "connected_components_supplier_customer": tpch.connected_components_supplier_customer,
+        "bfs_hops_supplier_s1": tpch.bfs_hops_supplier_s1,
         "label_propagation_supplier_customer": tpch.label_propagation_supplier_customer,
         # temporal joins + windows (stages/temporal: as-of, range, hopping)
         "events_last_purchase_asof": tpch.events_last_purchase_asof,
@@ -285,6 +286,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, component,
                    count(*) OVER (PARTITION BY component) AS component_size
             FROM comp ORDER BY id
+        """,
+        "bfs_hops_supplier_s1": """
+            WITH RECURSIVE
+            e0 AS (
+                SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2
+            ),
+            e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+            nodes AS (SELECT DISTINCT src AS id FROM e),
+            reach(id, hops) AS (
+                SELECT 's1', 0
+                UNION
+                SELECT e.dst, r.hops + 1 FROM reach r JOIN e ON e.src = r.id
+                WHERE r.hops < 24
+            ),
+            best AS (SELECT id, min(hops) AS hops FROM reach GROUP BY id)
+            SELECT n.id, CAST(coalesce(b.hops, -1) AS BIGINT) AS hops
+            FROM nodes n LEFT JOIN best b ON b.id = n.id
+            ORDER BY n.id
         """,
         "spread_activation_suppliers": """
             WITH e AS (

