@@ -27,9 +27,17 @@ _INF = np.int64(1) << np.int64(60)
 
 
 class _BfsProgram(VertexProgram):
-    def __init__(self, source_vids: np.ndarray):
+    """``weighted=False``: hop counts (int64, Bellman-Ford on dist+1).
+    ``weighted=True``: non-negative-weight SSSP (float64, dist+w) — the
+    same monotone min-propagation, O(longest shortest path in hops)
+    supersteps."""
+
+    def __init__(self, source_vids: np.ndarray, weighted: bool = False):
         self.sources = np.asarray(source_vids, np.int64)
         self.k = len(self.sources)
+        self.weighted = weighted
+        self.dtype = np.float64 if weighted else np.int64
+        self.inf = np.float64("inf") if weighted else _INF
         self.state_columns = tuple(f"d{i}" for i in range(self.k))
 
     def prepare(self, csr):
@@ -53,7 +61,7 @@ class _BfsProgram(VertexProgram):
     def init(self, csr, cache) -> dict:
         state = {}
         for i in range(self.k):
-            d = np.full(csr.n_local, _INF, np.int64)
+            d = np.full(csr.n_local, self.inf, self.dtype)
             if self.sources[i] % csr.n_parts == csr.part:
                 d[self.sources[i] // csr.n_parts] = 0
             state[f"d{i}"] = d
@@ -63,12 +71,14 @@ class _BfsProgram(VertexProgram):
         idx, local, order, starts = cache
         p = csr.n_parts
         if len(order) == 0:
-            empty = np.empty((self.k, 0), np.int64)
+            empty = np.empty((self.k, 0), self.dtype)
             return [empty for _ in range(p)]
-        # (k, n_uniq_dst) per-destination minima of dist+1, one reduceat per source
-        mins = np.empty((self.k, len(csr.uniq_dst)), np.int64)
+        # (k, n_uniq_dst) per-destination minima of dist+step, one reduceat
+        # per source; step = 1 (hops) or the edge weight (SSSP)
+        step = csr.weight[order] if self.weighted else 1
+        mins = np.empty((self.k, len(csr.uniq_dst)), self.dtype)
         for i in range(self.k):
-            cand = state[f"d{i}"][csr.row_of_edge][order] + 1
+            cand = state[f"d{i}"][csr.row_of_edge][order] + step
             mins[i] = np.minimum.reduceat(cand, starts)
         return [mins[:, idx[q]] for q in range(p)]
 
@@ -94,10 +104,11 @@ class BfsDistances(BaseClass):
     over reached landmarks)."""
 
     def __init__(self, sources: list, *, undirected: bool = True,
-                 max_iter: int = 200, n_parts: int | None = None,
-                 workdir: str | None = None):
+                 weighted: bool = False, max_iter: int = 200,
+                 n_parts: int | None = None, workdir: str | None = None):
         self.sources = list(sources)
         self.undirected = undirected
+        self.weighted = weighted  # True: non-negative-weight SSSP (cost_<s> float64)
         self.max_iter = max_iter
         self.n_parts = n_parts
         self.workdir = workdir
@@ -131,7 +142,7 @@ class BfsDistances(BaseClass):
             raise ValueError(f"source ids not in graph: {missing}")
         vids = np.array([key2vid[s] for s in skeys], np.int64)
 
-        engine = BspEngine(gas, _BfsProgram(vids))
+        engine = BspEngine(gas, _BfsProgram(vids, weighted=self.weighted))
         it = 0
         for it in range(1, self.max_iter + 1):
             metrics = engine.superstep()
@@ -144,21 +155,28 @@ class BfsDistances(BaseClass):
         state = engine.state_dataset()
         engine.shutdown()
 
-        k = len(skeys)
+        weighted = self.weighted
+        prefix = "cost" if weighted else "hops"
 
         def _final(t: pa.Table) -> pa.Table:
             cols = {"id": t["id"]}
             for i, s in enumerate(skeys):
                 d = t[f"d{i}"].combine_chunks().to_numpy(zero_copy_only=False)
-                cols[f"hops_{s}"] = pa.array(
-                    np.where(d >= _INF, np.int64(-1), d)
-                ).cast(pa.int64())
+                if weighted:
+                    cols[f"cost_{s}"] = pa.array(
+                        np.where(np.isinf(d), np.float64(-1.0), d), pa.float64()
+                    )
+                else:
+                    cols[f"hops_{s}"] = pa.array(
+                        np.where(d >= _INF, np.int64(-1), d)
+                    ).cast(pa.int64())
             return pa.table(cols)
 
         out = state.map_batches(_final, batch_format="pyarrow")
+        vtype = pa.float64() if weighted else pa.int64()
         out = ensure_schema(
             out,
-            {"id": pa.uint64(), **{f"hops_{s}": pa.int64() for s in skeys}},
+            {"id": pa.uint64(), **{f"{prefix}_{s}": vtype for s in skeys}},
         )
         self.distances_ = vd.decode(out, col="id")
         return self

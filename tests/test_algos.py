@@ -250,3 +250,31 @@ def test_bfs_unknown_source_raises(ray_session):
     e = pd.DataFrame({"src": ["a"], "dst": ["b"], "weight": [1.0]})
     with pytest.raises(ValueError, match="not in graph"):
         BfsDistances(sources=["zzz"]).fit(Graph(e))
+
+
+def test_sssp_weighted_matches_networkx(ray_session):
+    """weighted=True: non-negative-weight shortest-path costs match
+    nx dijkstra exactly (float sums of identical weights)."""
+    import networkx as nx
+    import numpy as np
+    import pandas as pd
+
+    from mercury_graph_ray.algos.bfs import BfsDistances
+    from mercury_graph_ray.graph import Graph
+
+    rng = np.random.default_rng(8)
+    g = nx.erdos_renyi_graph(120, 0.04, seed=8)
+    for u, v in g.edges:
+        g[u][v]["weight"] = float(rng.integers(1, 10))
+    e = pd.DataFrame(
+        {"src": [u for u, v in g.edges], "dst": [v for u, v in g.edges],
+         "weight": [g[u][v]["weight"] for u, v in g.edges]}
+    )
+    bd = BfsDistances(sources=["3"], weighted=True, n_parts=4).fit(Graph(e))
+    df = bd.distances_.to_pandas()
+    df["id"] = df["id"].astype(int)
+    got = dict(zip(df["id"], df["cost_3"]))
+    want = nx.single_source_dijkstra_path_length(g, 3)
+    for n in set(df["id"]):
+        w = want.get(n, -1.0)
+        assert abs(got[n] - w) < 1e-9, (n, got[n], w)
