@@ -21,7 +21,7 @@ import numpy as np
 
 from mercury_graph_ray.base import BaseClass
 from mercury_graph_ray.algos.common import prepare
-from mercury_graph_ray.stages.bsp import BspEngine, VertexProgram, split_by_dest_partition
+from mercury_graph_ray.stages.bsp import BspEngine, VertexProgram, dest_partition_slices
 
 _INF = np.int64(1) << np.int64(60)
 
@@ -41,10 +41,8 @@ class _BfsProgram(VertexProgram):
         self.state_columns = tuple(f"d{i}" for i in range(self.k))
 
     def prepare(self, csr):
-        idx, local = split_by_dest_partition(csr.uniq_dst, csr.n_parts)
-        order = np.argsort(csr.dst_inv, kind="stable").astype(np.int64)
-        starts = np.searchsorted(csr.dst_inv[order], np.arange(len(csr.uniq_dst)))
-        return (idx, local, order, starts)
+        # dst-major static layout: sequential reduceat, contiguous slices
+        return dest_partition_slices(csr)
 
     def scatter_meta(self, csr, cache):
         return cache[1]
@@ -68,19 +66,19 @@ class _BfsProgram(VertexProgram):
         return state
 
     def scatter(self, csr, state, cache) -> list:
-        idx, local, order, starts = cache
+        bounds, local = cache
         p = csr.n_parts
-        if len(order) == 0:
+        if csr.n_edges == 0:
             empty = np.empty((self.k, 0), self.dtype)
             return [empty for _ in range(p)]
         # (k, n_uniq_dst) per-destination minima of dist+step, one reduceat
         # per source; step = 1 (hops) or the edge weight (SSSP)
-        step = csr.weight[order] if self.weighted else 1
+        step = csr.weight_by_dst if self.weighted else 1
         mins = np.empty((self.k, len(csr.uniq_dst)), self.dtype)
         for i in range(self.k):
-            cand = state[f"d{i}"][csr.row_of_edge][order] + step
-            mins[i] = np.minimum.reduceat(cand, starts)
-        return [mins[:, idx[q]] for q in range(p)]
+            cand = state[f"d{i}"][csr.row_by_dst] + step
+            mins[i] = np.minimum.reduceat(cand, csr.dst_seg_starts)
+        return [mins[:, a:b] for a, b in bounds]
 
     def gather_apply(self, csr, state, payloads, cache, recv) -> dict:
         inc = np.concatenate(payloads, axis=1)  # (k, total_msgs)

@@ -25,23 +25,21 @@ import numpy as np
 
 from mercury_graph_ray.base import BaseClass
 from mercury_graph_ray.algos.common import prepare
-from mercury_graph_ray.stages.bsp import BspEngine, VertexProgram, split_by_dest_partition
+from mercury_graph_ray.stages.bsp import BspEngine, VertexProgram, dest_partition_slices
 
 
 class _CcProgram(VertexProgram):
     state_columns = ("label",)
 
     def prepare(self, csr):
-        idx, local = split_by_dest_partition(csr.uniq_dst, csr.n_parts)
-        # static edge ordering grouped by destination (for reduceat minima)
-        order = np.argsort(csr.dst_inv, kind="stable").astype(np.int64)
-        starts = np.searchsorted(csr.dst_inv[order], np.arange(len(csr.uniq_dst)))
-        return (idx, local, order, starts)
+        # dst-major static layout (csr.row_by_dst / dst_seg_starts): one
+        # sequential reduceat per superstep, contiguous payload slices
+        return dest_partition_slices(csr)
 
     def scatter_meta(self, csr, cache):
         # message destinations are the static unique-dst set -> exchange
         # local row ids once; per-superstep payloads carry minima only
-        idx, local, order, starts = cache
+        bounds, local = cache
         return local
 
     def prepare_recv(self, csr, cache, metas):
@@ -60,13 +58,13 @@ class _CcProgram(VertexProgram):
         return {"label": ids}
 
     def scatter(self, csr, state, cache) -> list:
-        idx, local, order, starts = cache
-        if len(order) == 0:
+        bounds, local = cache
+        if csr.n_edges == 0:
             empty = np.array([], np.uint64)
             return [empty for _ in range(csr.n_parts)]
-        lab_edge = state["label"][csr.row_of_edge][order]
-        mins = np.minimum.reduceat(lab_edge, starts)
-        return [mins[idx[q]] for q in range(csr.n_parts)]
+        lab_edge = state["label"][csr.row_by_dst]
+        mins = np.minimum.reduceat(lab_edge, csr.dst_seg_starts)
+        return [mins[a:b] for a, b in bounds]
 
     def gather_apply(self, csr, state, payloads, cache, recv) -> dict:
         old = state["label"]

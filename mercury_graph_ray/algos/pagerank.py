@@ -33,7 +33,7 @@ import numpy as np
 
 from mercury_graph_ray.base import BaseClass
 from mercury_graph_ray.algos.common import prepare
-from mercury_graph_ray.stages.bsp import BspEngine, VertexProgram, split_by_dest_partition
+from mercury_graph_ray.stages.bsp import BspEngine, VertexProgram, dest_partition_slices
 
 
 class PowerIterationFailedConvergence(RuntimeError):
@@ -41,20 +41,27 @@ class PowerIterationFailedConvergence(RuntimeError):
 
 
 class _PageRankProgram(VertexProgram):
+    """Scatter runs on the dst-major static layout: one sequential
+    ``np.add.reduceat`` per superstep (no bincount scatter into the
+    U_p-sized array — the round-2 bandwidth plateau, BASELINE.md), and
+    per-destination-partition payloads are contiguous slices. With
+    ``payload_dtype=float32`` the exchanged contribution sums are
+    halved in size; the rank accumulator stays float64 (nx parity at
+    1e-6 survives f32 partials — VERDICT r2 next-round #1a)."""
+
     state_columns = ("rank",)
 
-    def __init__(self, n: int, alpha: float):
+    def __init__(self, n: int, alpha: float, payload_dtype=np.float32):
         self.n = n
         self.alpha = alpha
+        self.payload_dtype = np.dtype(payload_dtype)
 
     def prepare(self, csr):
-        # static destination grouping: which unique dsts go to which
-        # partition, and their local rows there — computed once
-        return split_by_dest_partition(csr.uniq_dst, csr.n_parts)
+        return dest_partition_slices(csr)
 
     def scatter_meta(self, csr, cache):
         # destinations are static -> ship local row ids once at setup
-        idx, local = cache
+        bounds, local = cache
         return local
 
     def prepare_recv(self, csr, cache, metas):
@@ -69,12 +76,17 @@ class _PageRankProgram(VertexProgram):
         return {"rank": np.full(csr.n_local, 1.0 / self.n, np.float64)}
 
     def scatter(self, csr, state, cache) -> list:
-        idx, local = cache
+        bounds, local = cache
         r = state["rank"]
-        contrib_edge = r[csr.row_of_edge] * csr.w_norm
-        sums = np.bincount(csr.dst_inv, weights=contrib_edge, minlength=len(csr.uniq_dst))
+        if csr.n_edges:
+            contrib_edge = r[csr.row_by_dst] * csr.w_norm_by_dst
+            sums = np.add.reduceat(contrib_edge, csr.dst_seg_starts)
+        else:
+            sums = np.zeros(0, np.float64)
+        if self.payload_dtype != np.float64:
+            sums = sums.astype(self.payload_dtype)
         d_partial = float(r[csr.dangling].sum())
-        return [(sums[idx[q]], d_partial) for q in range(csr.n_parts)]
+        return [(sums[a:b], d_partial) for a, b in bounds]
 
     def gather_apply(self, csr, state, payloads, cache, recv) -> dict:
         n_local = csr.n_local
@@ -108,6 +120,7 @@ class PageRank(BaseClass):
         resume: bool = False,
         actor_num_cpus: float | None = None,
         strict: bool = True,
+        payload_dtype: str = "float32",
     ):
         self.alpha = alpha
         self.tol = tol
@@ -121,6 +134,11 @@ class PageRank(BaseClass):
         # strict=False: record converged_=False at max_iter instead of
         # raising (bench mode: fixed-superstep throughput runs)
         self.strict = strict
+        # float32 halves the per-superstep exchange bytes; rank state and
+        # accumulation stay float64 (nx parity 1e-6 holds). float64 is for
+        # consumers that need ~1e-9 agreement with an exact-arithmetic
+        # oracle (the pagerank_fixed20 DuckDB unroll rounds to 9 decimals).
+        self.payload_dtype = payload_dtype
 
     def fit(self, g) -> "PageRank":
         from mercury_graph_ray.state.checkpoint import CheckpointManager
@@ -128,7 +146,9 @@ class PageRank(BaseClass):
         vd, gas = prepare(g, symmetrize=not g.directed, n_parts=self.n_parts, workdir=self.workdir)
         n = gas.n
         engine = BspEngine(
-            gas, _PageRankProgram(n, self.alpha), actor_num_cpus=self.actor_num_cpus
+            gas,
+            _PageRankProgram(n, self.alpha, payload_dtype=self.payload_dtype),
+            actor_num_cpus=self.actor_num_cpus,
         )
 
         ckpt = None

@@ -338,7 +338,9 @@ def pagerank_fixed20_supplier_customer(sf_dir: str):
     from mercury_graph_ray.graph import Graph
     from mercury_graph_ray.pipelines.training_data import _round_half_away
 
-    pr = PageRank(n_parts=8, tol=0.0, max_iter=20, strict=False).fit(
+    # float64 payloads: the DuckDB 20-step unroll oracle compares at
+    # round(·, 9), tighter than the f32 exchange's ~1e-9 accumulated drift
+    pr = PageRank(n_parts=8, tol=0.0, max_iter=20, strict=False, payload_dtype="float64").fit(
         Graph(supplier_customer_edges(sf_dir).materialize())
     )
     df = pr.pagerank_.to_pandas()

@@ -91,24 +91,17 @@ class VertexProgram:
         raise NotImplementedError
 
 
-def split_by_dest_partition(uniq_dst: np.ndarray, n_parts: int):
-    """Group a sorted unique-destination array by destination partition.
-
-    Returns ``(idx, local)`` lists of length P: ``idx[q]`` indexes into
-    ``uniq_dst`` (and any per-uniq aggregate) for destinations living in
-    partition q; ``local[q]`` are their local row ids there. Computed once
-    per run (the destination set is static), so per-superstep scatter is a
-    pure gather-and-slice.
-    """
-    p = np.uint64(n_parts)
-    q = (uniq_dst % p).astype(np.int64)
-    order = np.argsort(q, kind="stable")
-    qs = q[order]
-    starts = np.searchsorted(qs, np.arange(n_parts))
-    ends = np.searchsorted(qs, np.arange(n_parts), side="right")
-    idx = [order[starts[i]:ends[i]] for i in range(n_parts)]
-    local = [(uniq_dst[ix] // p).astype(np.int64) for ix in idx]
-    return idx, local
+def dest_partition_slices(csr):
+    """``(bounds, local)``: per destination partition, the contiguous
+    ``uniq_dst`` slice (``compile_block`` groups uniq_dst by ``dst % P``)
+    and the destinations' local row ids there. Static per run — scatter
+    then ships ``reduceat_output[a:b]`` views with no per-superstep
+    fancy-index gather."""
+    s = csr.uniq_part_starts
+    p = np.uint64(csr.n_parts)
+    bounds = [(int(s[q]), int(s[q + 1])) for q in range(csr.n_parts)]
+    local = [(csr.uniq_dst[a:b] // p).astype(np.int64) for a, b in bounds]
+    return bounds, local
 
 
 class _PartitionActor:

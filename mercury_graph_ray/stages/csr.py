@@ -31,7 +31,24 @@ import pyarrow as pa
 @dataclasses.dataclass
 class CsrBlock:
     """Static adjacency of one source partition (all out-edges of the
-    vertices in this partition), pre-sorted by local source row."""
+    vertices in this partition), in two static edge orders:
+
+    - **src-major** (``indptr/dst/weight/w_norm/row_of_edge/dst_inv``):
+      edges sorted by local source row — the walk/sampling layout.
+    - **dst-major** (``row_by_dst/w_norm_by_dst/weight_by_dst`` +
+      ``dst_seg_starts``): the same edges sorted by destination, so the
+      per-superstep pre-combine (sum/min per unique destination) is one
+      sequential ``np.*.reduceat`` instead of a ``bincount`` scatter into
+      a U_p-sized array — random cacheline-granular writes were the
+      memory-bandwidth term behind the measured ~128M edges/s/superstep
+      socket plateau (BASELINE.md round 2). ``row_by_dst`` is int32 when
+      E_p < 2^31 (the 10^8-edges-per-partition design regime), halving
+      the per-edge index traffic.
+
+    ``uniq_dst`` is grouped by owning partition (``dst % P``, ascending
+    vid within each group; ``uniq_part_starts`` are the group bounds), so
+    per-destination-partition payloads are contiguous slices of the
+    reduceat output — no per-superstep fancy-index gather."""
 
     part: int
     n_parts: int
@@ -42,9 +59,14 @@ class CsrBlock:
     weight: np.ndarray  # float64 [E_p]
     w_norm: np.ndarray  # float64 [E_p]  weight / out_weight_sum(src)
     row_of_edge: np.ndarray  # int64 [E_p]  local source row per edge
-    uniq_dst: np.ndarray  # uint64 [U_p]  sorted unique dst vids
+    uniq_dst: np.ndarray  # uint64 [U_p]  unique dst vids, grouped by dst % P
     dst_inv: np.ndarray  # int64 [E_p]  index of each edge's dst in uniq_dst
     dangling: np.ndarray  # bool [n_local]  rows with no out-edges
+    uniq_part_starts: np.ndarray  # int64 [P+1]  uniq_dst group bounds per partition
+    row_by_dst: np.ndarray  # int32/int64 [E_p]  local source row, dst-major order
+    w_norm_by_dst: np.ndarray  # float64 [E_p]  w_norm, dst-major order
+    weight_by_dst: np.ndarray  # float64 [E_p]  weight, dst-major order
+    dst_seg_starts: np.ndarray  # int64 [U_p]  reduceat starts per uniq_dst
 
     @property
     def n_edges(self) -> int:
@@ -90,6 +112,26 @@ def compile_block(
     with np.errstate(divide="ignore", invalid="ignore"):
         w_norm = w / row_w_sum[row_of_edge]
     uniq_dst, dst_inv = np.unique(dst, return_inverse=True)
+    # regroup unique destinations by owning partition so payload slices
+    # per destination partition are contiguous (value-ascending in-group)
+    q_of_uniq = (uniq_dst % np.uint64(n_parts)).astype(np.int64)
+    perm = np.argsort(q_of_uniq, kind="stable")
+    uniq_dst = uniq_dst[perm].astype(np.uint64)
+    inv_perm = np.empty(len(perm), np.int64)
+    inv_perm[perm] = np.arange(len(perm), dtype=np.int64)
+    dst_inv = inv_perm[dst_inv.astype(np.int64, copy=False)]
+    uniq_part_starts = np.searchsorted(
+        q_of_uniq[perm], np.arange(n_parts + 1)
+    ).astype(np.int64)
+    # dst-major static edge layout: sequential reduceat pre-combines
+    order_by_dst = np.argsort(dst_inv, kind="stable")
+    idx_t = np.int32 if len(dst) < (1 << 31) else np.int64
+    row_by_dst = row_of_edge[order_by_dst].astype(idx_t)
+    w_norm_by_dst = w_norm[order_by_dst]
+    weight_by_dst = w[order_by_dst]
+    dst_seg_starts = np.searchsorted(
+        dst_inv[order_by_dst], np.arange(len(uniq_dst))
+    ).astype(np.int64)
     dangling = counts == 0
     return CsrBlock(
         part=part,
@@ -101,9 +143,14 @@ def compile_block(
         weight=w,
         w_norm=w_norm,
         row_of_edge=row_of_edge,
-        uniq_dst=uniq_dst.astype(np.uint64),
-        dst_inv=dst_inv.astype(np.int64),
+        uniq_dst=uniq_dst,
+        dst_inv=dst_inv,
         dangling=dangling,
+        uniq_part_starts=uniq_part_starts,
+        row_by_dst=row_by_dst,
+        w_norm_by_dst=w_norm_by_dst,
+        weight_by_dst=weight_by_dst,
+        dst_seg_starts=dst_seg_starts,
     )
 
 

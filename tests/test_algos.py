@@ -44,11 +44,25 @@ def pages_graph(ray_session):
 
 
 def test_pagerank_toy(ray_session):
+    # default mode (float32 exchange payloads): nx parity at 1e-6 must
+    # hold, sum-to-1 within the f32-accumulation drift bound
     df = toy_edges()
     pr = PageRank(n_parts=4).fit(Graph(df))
     got = pr.pagerank_.to_pandas().set_index("id")["rank"].to_dict()
     want = oracle_pagerank(df)
     assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-6
+    assert abs(sum(got.values()) - 1.0) < 1e-7
+
+
+def test_pagerank_toy_f64_payloads(ray_session):
+    # float64 exchange: exact-arithmetic invariants (the mode the
+    # 9-decimal DuckDB unroll oracle checks end-to-end)
+    df = toy_edges()
+    pr = PageRank(n_parts=4, payload_dtype="float64").fit(Graph(df))
+    got = pr.pagerank_.to_pandas().set_index("id")["rank"].to_dict()
+    want = oracle_pagerank(df)
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-6
     assert abs(sum(got.values()) - 1.0) < 1e-9
