@@ -464,6 +464,50 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY t
             ORDER BY n DESC, token LIMIT 20
         """,
+        # exact SimHash oracle: recompute the two-lane 32-bit polynomial
+        # token hash (stages/dedup._poly_hash_tokens — chosen to be
+        # SQL-expressible), rebuild per-doc 64-bit signatures from the
+        # ±1 bit-sign sums, and self-join on bit_count(xor) <= 3; the 4 x
+        # 16-bit pigeonhole banding guarantees full recall at <= 3 flips,
+        # so the banded pipeline must match row-for-row.
+        "simhash_dedup_pairs": """
+            WITH tok AS (
+                SELECT doc_id, u.t AS tok
+                FROM documents,
+                     unnest(regexp_split_to_array(lower(coalesce(text, '')), '\\s+')) AS u(t)
+                WHERE u.t <> ''
+            ), th AS (
+                SELECT doc_id,
+                       CAST(list_reduce(
+                           list_transform(regexp_split_to_array(tok, ''),
+                                          c -> CAST(ord(c) AS BIGINT)),
+                           (a, x) -> (a * 1000003 + x) % 4294967296
+                       ) AS UBIGINT) * 4294967296
+                     + CAST(list_reduce(
+                           list_transform(regexp_split_to_array(tok, ''),
+                                          c -> CAST(ord(c) AS BIGINT)),
+                           (a, x) -> (a * 998244353 + x) % 4294967296
+                       ) AS UBIGINT) AS h
+                FROM tok
+            ), bitsum AS (
+                SELECT doc_id, b.bit,
+                       SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                FROM th, (SELECT unnest(range(64)) AS bit) b
+                GROUP BY doc_id, b.bit
+            ), sig AS (
+                SELECT d.doc_id,
+                       CAST(coalesce(SUM(CASE WHEN bs.s > 0
+                                   THEN CAST(1 AS UBIGINT) << bs.bit
+                                   ELSE CAST(0 AS UBIGINT) END), 0) AS UBIGINT) AS sh
+                FROM documents d LEFT JOIN bitsum bs USING (doc_id)
+                GROUP BY d.doc_id
+            )
+            SELECT s1.doc_id AS a, s2.doc_id AS b,
+                   CAST(bit_count(xor(s1.sh, s2.sh)) AS BIGINT) AS hamming
+            FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+            WHERE bit_count(xor(s1.sh, s2.sh)) <= 3
+            ORDER BY a, b
+        """,
         "docs_ngram_jaccard_consecutive": """
             WITH norm AS (
                 SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t

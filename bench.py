@@ -160,7 +160,7 @@ def pagerank_child() -> dict:
         max_iter=SCALE_ITERS,
         tol=0.0,
         strict=False,
-        workdir=f"/tmp/mgr_scaling_csr_E{SCALE_E}_P{SCALE_P}",
+        workdir=f"/tmp/mgr_scaling_csr_E{SCALE_E}_V{SCALE_V}_P{SCALE_P}",
     ).fit(g)
     fit_sec = time.time() - t0
     ray.shutdown()
@@ -236,12 +236,16 @@ def run_scaling() -> dict:
 
     # interleaved A/B/A/B to average out machine drift (this VM sees
     # multi-minute host-level CPU-steal episodes; best-of-3 + per-run
-    # median supersteps ride them out)
+    # median supersteps ride them out). The pagerank pair runs in its own
+    # block BEFORE any extraction run: the 32-core extraction write churns
+    # the page cache and memory bus, and round-3 measurements showed it
+    # inflating the immediately following 8-core pagerank level by ~30%.
     pr_runs = {2: [], 8: []}
     ext_runs = {8: [], 32: []}
     for _ in range(3):
         pr_runs[8].append(run("--pagerank-child", 8, "0-7"))
         pr_runs[2].append(run("--pagerank-child", 2, "0-1"))
+    for _ in range(3):
         ext_runs[32].append(run("--extract-child", 32, "0-31"))
         ext_runs[8].append(run("--extract-child", 8, "0-7"))
     pr_hi = min(pr_runs[8], key=lambda r: r["superstep_median_sec"])

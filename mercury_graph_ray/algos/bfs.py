@@ -97,9 +97,8 @@ class _BfsProgram(VertexProgram):
 class BfsDistances(BaseClass):
     """``BfsDistances(sources=[...]).fit(g)`` sets ``distances_``: a
     Dataset of (id, hops_<source>...) with -1 for unreachable vertices,
-    and ``closeness_`` (id, closeness = k / sum(hops), reached-all only
-    when ``require_all`` — here: vertices reaching ≥1 landmark, summed
-    over reached landmarks)."""
+    and ``closeness_``: (id, closeness = n_reached / sum(dist over
+    reached landmarks); 0.0 when no landmark is at positive distance)."""
 
     def __init__(self, sources: list, *, undirected: bool = True,
                  weighted: bool = False, max_iter: int = 200,
@@ -177,4 +176,27 @@ class BfsDistances(BaseClass):
             {"id": pa.uint64(), **{f"{prefix}_{s}": vtype for s in skeys}},
         )
         self.distances_ = vd.decode(out, col="id")
+
+        # landmark closeness (the documented fitted attribute): per vertex,
+        # n_reached / sum(dist over reached landmarks); 0.0 when no landmark
+        # is at positive distance (isolated vertices, k=1 self row) — the
+        # scale-path approximation of the reference's exact closeness
+        # (mercury/graph/core/graph.py:656-671, small-graph networkx op)
+        dist_cols = [f"{prefix}_{s}" for s in skeys]
+
+        def _closeness(t: pa.Table) -> pa.Table:
+            m = np.stack(
+                [
+                    t[c].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+                    for c in dist_cols
+                ]
+            )
+            reached = m >= 0
+            n_reached = reached.sum(axis=0)
+            sum_d = np.where(reached, m, 0.0).sum(axis=0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = np.where(sum_d > 0, n_reached / sum_d, 0.0)
+            return pa.table({"id": t["id"], "closeness": pa.array(c, pa.float64())})
+
+        self.closeness_ = self.distances_.map_batches(_closeness, batch_format="pyarrow")
         return self

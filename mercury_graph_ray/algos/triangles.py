@@ -33,7 +33,12 @@ import pyarrow as pa
 
 from mercury_graph_ray.base import BaseClass
 from mercury_graph_ray.algos.common import DEFAULT_N_PARTS
-from mercury_graph_ray.stages.ids import BROADCAST_MAX_VERTICES, VertexDict
+from mercury_graph_ray.stages.ids import VertexDict
+
+# Broadcast the per-vid uint32 degree array below this many vertices
+# (4 bytes/vid fixed width, so a row cap IS a byte cap here: 20M -> 80 MB);
+# beyond it, orientation degrees attach via a distributed join relabel.
+BROADCAST_MAX_VERTICES = 20_000_000
 
 
 def _canonical_pairs(t: pa.Table) -> pa.Table:

@@ -158,35 +158,32 @@ def events_hourly(sf_dir: str):
 
 
 # ------------------------------------------------------------- the graph
-def supplier_customer_edges(sf_dir: str):
+def supplier_customer_edges(sf_dir: str, broadcast_bytes: int | None = None):
     """Weighted edge table: supplier ships to customer (via order join).
 
-    The small side (orders: o_orderkey -> o_custkey) is broadcast once
-    with ``ray.put``; the lineitem scan never shuffles until the final
-    (src, dst) weight groupby."""
+    Adaptive lookup side (VERDICT r2 #7): orders (o_orderkey -> o_custkey)
+    is broadcast once with ``ray.put`` only while under the byte threshold
+    (``stages.join.AUTO_BROADCAST_BYTES``); a fact-sized orders table falls
+    back to the bucketed ``hash_join``. Either way the lineitem scan
+    pre-combines (src, dst, partial-count) per batch, so the only exchange
+    on the edge rows is the final weight groupby."""
     import ray
     import ray.data as rd
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
-    okeys = orders["o_orderkey"].to_numpy(np.int64)
-    ocust = orders["o_custkey"].to_numpy(np.int64)
-    order_sorted = np.argsort(okeys)
-    ref = ray.put((okeys[order_sorted], ocust[order_sorted]))
+    from mercury_graph_ray.stages.join import AUTO_BROADCAST_BYTES, hash_join
+    from mercury_graph_ray.stages.util import bucket_sum_by, rename_cols
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    if broadcast_bytes is None:
+        broadcast_bytes = AUTO_BROADCAST_BYTES
 
-    def _join(t: pa.Table) -> pa.Table:
+    def _pair_combine(supp: np.ndarray, cust: np.ndarray) -> pa.Table:
         # per-batch combine: one (src, dst, partial-count) row per pair —
         # the sort-based Count() aggregate on the raw 2E string-pair rows
         # is ~240 µs/row on this Ray version (see stages/util.bucket_sum_by)
-        keys, cust = ray.get(ref)
-        lo = t["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(keys, lo)
-        supp = t["l_suppkey"].combine_chunks().to_numpy(zero_copy_only=False)
         df = pd.DataFrame(
             {
                 "src": np.char.add("s", supp.astype("U20")),
-                "dst": np.char.add("c", cust[pos].astype("U20")),
+                "dst": np.char.add("c", cust.astype("U20")),
             }
         )
         g = df.groupby(["src", "dst"], as_index=False).size()
@@ -198,10 +195,39 @@ def supplier_customer_edges(sf_dir: str):
             }
         )
 
-    from mercury_graph_ray.stages.util import bucket_sum_by
+    orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).materialize()
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+
+    if (orders_ds.size_bytes() or 0) <= broadcast_bytes:
+        orders = orders_ds.to_pandas()
+        okeys = orders["o_orderkey"].to_numpy(np.int64)
+        ocust = orders["o_custkey"].to_numpy(np.int64)
+        order_sorted = np.argsort(okeys)
+        ref = ray.put((okeys[order_sorted], ocust[order_sorted]))
+
+        def _join(t: pa.Table) -> pa.Table:
+            keys, cust = ray.get(ref)
+            lo = t["l_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, lo)
+            supp = t["l_suppkey"].combine_chunks().to_numpy(zero_copy_only=False)
+            return _pair_combine(supp, cust[pos])
+
+        pairs = ds.map_batches(_join, batch_format="pyarrow")
+    else:
+        # fact-sized orders: one bucketed key shuffle instead of a driver
+        # pull + per-task broadcast copy
+        li = rename_cols(ds, {"l_orderkey": "o_orderkey"})
+        j = hash_join(li, orders_ds, on=("o_orderkey",), num_buckets=64)
+
+        def _pairs_joined(t: pa.Table) -> pa.Table:
+            supp = t["l_suppkey"].combine_chunks().to_numpy(zero_copy_only=False)
+            cust = t["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+            return _pair_combine(supp, cust)
+
+        pairs = j.map_batches(_pairs_joined, batch_format="pyarrow")
 
     edges = bucket_sum_by(
-        ds.map_batches(_join, batch_format="pyarrow"),
+        pairs,
         ["src", "dst"],
         "weight",
         {"src": pa.string(), "dst": pa.string(), "weight": pa.float64()},
@@ -379,20 +405,47 @@ def label_propagation_supplier_customer(sf_dir: str):
     return lp.labels_.to_pandas().sort_values("id").reset_index(drop=True)
 
 
-def events_sessionization(sf_dir: str, gap_minutes: int = 30):
+def events_sessionization(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 64):
     """Session counts per user: a new session starts when the gap from the
-    previous event exceeds ``gap_minutes``. Ray side: one groupby(user)
-    shuffle + per-group sorted pandas (the guide's window pattern); SQL
-    side: lag() window + running sum."""
+    previous event exceeds ``gap_minutes``. Ray side: ONE groupby over
+    ``hash(user) % num_buckets`` int buckets (≤64 Python task calls, not
+    one per user — VERDICT r2 next-round #3), with in-task lexsort +
+    vectorized gap/segment counting; SQL side: lag() window + running sum."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
+    gap_ns = np.int64(gap_minutes) * 60 * 1_000_000_000
 
-    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values()
-        gaps = ts.diff().dt.total_seconds().fillna(np.inf)
-        n_sessions = int((gaps > gap_minutes * 60).sum())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n_sessions]})
+    def _with_bkt(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t["user_id"].to_pandas(), index=False
+        ).to_numpy(np.uint64)
+        return t.append_column(
+            "__bkt", pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+        )
 
-    out = ds.groupby("user_id").map_groups(_sessions, batch_format="pandas")
+    def _sessions_bkt(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype=object),
+                 "n_sessions": pd.Series([], dtype=np.int64)}
+            )
+        codes, uniques = pd.factorize(g["user_id"])
+        ts = g["ts"].to_numpy("datetime64[ns]").astype(np.int64)
+        order = np.lexsort((ts, codes))
+        codes, ts = codes[order], ts[order]
+        new_user = np.concatenate([[True], codes[1:] != codes[:-1]])
+        gaps = np.diff(ts, prepend=ts[:1])
+        new_session = new_user | (gaps > gap_ns)
+        starts = np.flatnonzero(new_user)
+        counts = np.add.reduceat(new_session.astype(np.int64), starts)
+        return pd.DataFrame(
+            {"user_id": uniques[codes[starts]], "n_sessions": counts}
+        )
+
+    out = (
+        ds.map_batches(_with_bkt, batch_format="pyarrow")
+        .groupby("__bkt")
+        .map_groups(_sessions_bkt, batch_format="pandas")
+    )
     return out.to_pandas().sort_values("user_id").reset_index(drop=True)
 
 

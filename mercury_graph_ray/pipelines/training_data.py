@@ -63,10 +63,17 @@ def minhash_dedup_pairs(sf_dir: str):
 
 
 def simhash_dedup_pairs(sf_dir: str):
+    """max_hamming=3 (was 6 in round 2 — re-pinned): with 4 x 16-bit
+    pigeonhole bands, recall is GUARANTEED only for <=3 bit flips, which
+    is exactly what makes the exact-SQL oracle (recomputed signatures +
+    bit_count(xor) self-join) match the banded pipeline row-for-row. The
+    token hash also moved to the SQL-expressible two-lane polynomial
+    family (stages/dedup._poly_hash_tokens), re-pinning the rows."""
     from mercury_graph_ray.stages.dedup import simhash_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = simhash_pairs(ds, max_hamming=6).to_pandas()
+    out = simhash_pairs(ds, max_hamming=3).to_pandas()
+    out["hamming"] = out["hamming"].astype(np.int64)
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 

@@ -95,8 +95,20 @@ def moebius_json(g, limit: int = 1000) -> dict:
     int_id = {v: i for i, v in enumerate(deg["id"])}
     n = len(int_id)
 
-    edges = g.edges.to_pandas()
-    edges = edges[edges["src"].isin(keep) & edges["dst"].isin(keep)]
+    # push the endpoint filter into the stream (khop_subgraph's pattern):
+    # only the kept subgraph's edges ever reach the driver (VERDICT r2 #5)
+    import pyarrow as pa
+
+    keep_arr = pa.array(sorted(keep))
+    edges = g.edges.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.is_in(t["src"], value_set=keep_arr),
+                pc.is_in(t["dst"], value_set=keep_arr),
+            )
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
     nodes = [
         {"id": r.id, "count": int(r.degree), "_int_id": int_id[r.id]}
         for r in deg.itertuples()

@@ -73,12 +73,34 @@ def write_parquet_resumable(ds, path, partition_col: str):
     Markers are written only after ``write_parquet`` returns, so a crash
     mid-write never marks a partition done. Returns the list of partition
     values written by THIS call (empty when everything was already done).
+
+    ``partition_col`` must be integer- or string-typed with no nulls: the
+    resume skip matches hive directory names back to column values, which
+    is only bijective for types whose string cast equals the directory
+    spelling. Directory names are percent-decoded (hive encoding for
+    spaces, '=', '/', unicode); floats ('1.0'), timestamps and nulls
+    (``__HIVE_DEFAULT_PARTITION__``) would silently re-write or drop rows,
+    so they are rejected up front.
     """
     import os
     import shutil
+    from urllib.parse import unquote
 
     import pyarrow as pa
     import pyarrow.compute as pc
+
+    sch = ds.schema()
+    ftype = dict(zip(sch.names, sch.types)).get(partition_col)
+    if isinstance(ftype, pa.DataType) and not (
+        pa.types.is_integer(ftype)
+        or pa.types.is_string(ftype)
+        or pa.types.is_large_string(ftype)
+    ):
+        raise ValueError(
+            f"write_parquet_resumable: partition_col {partition_col!r} must be "
+            f"integer- or string-typed (got {ftype}); other types don't "
+            "round-trip through hive directory names, breaking resume skips"
+        )
 
     done: set[str] = set()
     prefix = f"{partition_col}="
@@ -87,8 +109,17 @@ def write_parquet_resumable(ds, path, partition_col: str):
             d = os.path.join(path, name)
             if not (os.path.isdir(d) and name.startswith(prefix)):
                 continue
+            raw = name[len(prefix):]
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                raise ValueError(
+                    f"write_parquet_resumable: null partition values found at "
+                    f"{d}; nulls in {partition_col!r} are not resumable"
+                )
             if os.path.exists(os.path.join(d, "_DONE")):
-                done.add(name[len(prefix):])
+                # pyarrow hive-encodes partition values into directory
+                # names (percent-encoding); decode so the skip filter
+                # compares in value space
+                done.add(unquote(raw))
             else:
                 shutil.rmtree(d)  # partial partition from a failed run
 
@@ -96,6 +127,11 @@ def write_parquet_resumable(ds, path, partition_col: str):
         done_arr = pa.array(sorted(done))
 
         def _skip(t: pa.Table) -> pa.Table:
+            if t[partition_col].null_count:
+                raise ValueError(
+                    f"write_parquet_resumable: null values in {partition_col!r} "
+                    "are not resumable (hive null partitions don't round-trip)"
+                )
             vals = pc.cast(t[partition_col], pa.string())
             return t.filter(pc.invert(pc.is_in(vals, value_set=done_arr)))
 
@@ -107,7 +143,7 @@ def write_parquet_resumable(ds, path, partition_col: str):
     for name in os.listdir(path):
         d = os.path.join(path, name)
         if os.path.isdir(d) and name.startswith(prefix):
-            val = name[len(prefix):]
+            val = unquote(name[len(prefix):])
             if val not in done:
                 written.append(val)
                 with open(os.path.join(d, "_DONE"), "w"):

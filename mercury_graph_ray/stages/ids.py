@@ -14,8 +14,8 @@ block-boundary list — blocks self-identify, so no ordering assumption on
 task scheduling is needed.
 
 Relabeling edges uses a broadcast sorted-array lookup (``ray.put`` once,
-``np.searchsorted`` per batch — no shuffle) when the dictionary fits in
-memory, and a hash-partitioned ``Dataset.join`` otherwise.
+``np.searchsorted`` per batch — no shuffle) when the key array fits the
+byte cap (``BROADCAST_MAX_BYTES``), and a hash-partitioned join otherwise.
 """
 
 from __future__ import annotations
@@ -25,9 +25,20 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# Above this many distinct vertices the broadcast lookup is replaced by a
-# distributed join (a 1e12-vertex dictionary cannot be broadcast).
-BROADCAST_MAX_VERTICES = 20_000_000
+# Broadcast the dictionary only when the key array is small in BYTES —
+# a row-count cap lies for URL-sized string keys (20M × ~80-byte URLs is
+# a 1.6 GB broadcast object; VERDICT r2 #6). Matches the byte-thresholded
+# join policy (stages/join.py). Beyond it, relabeling is a distributed
+# hash join (a 1e12-vertex dictionary cannot be broadcast).
+BROADCAST_MAX_BYTES = 64 << 20
+
+
+def _arrow_nbytes(keys: np.ndarray) -> int:
+    """Actual byte size of a key array (object/string arrays report only
+    pointer bytes through ``.nbytes``)."""
+    if keys.dtype == object:
+        return pa.array(keys).nbytes
+    return keys.nbytes
 
 
 def distinct_vertices(edges, src: str = "src", dst: str = "dst", extra_ids=None):
@@ -123,7 +134,9 @@ class VertexDict:
             import ray
 
             self._broadcast_ref = ray.put(keys)
-        elif n_vertices <= BROADCAST_MAX_VERTICES:
+        elif (mapping_ds.size_bytes() or 0) <= 2 * BROADCAST_MAX_BYTES:
+            # mapping bytes ≈ key bytes + 8/row for vid, so a 2x bound on
+            # the table keeps the broadcast key array within the byte cap
             import ray
 
             batches = list(
@@ -137,25 +150,27 @@ class VertexDict:
                 keys = tbl["id"].combine_chunks().to_numpy(zero_copy_only=False)
             else:
                 keys = np.array([], dtype=object)
-            self._broadcast_ref = ray.put(keys)
+            if _arrow_nbytes(keys) <= BROADCAST_MAX_BYTES:
+                self._broadcast_ref = ray.put(keys)
 
     @classmethod
     def from_edges(cls, edges, src: str = "src", dst: str = "dst", nodes=None) -> "VertexDict":
         """``nodes``: optional explicit nodes Dataset (``id`` column) whose
         ids are included even when edge-free (isolated vertices).
 
-        Fast path (vertex count within the broadcast cap): per-batch
+        Fast path (candidate set within the broadcast BYTE cap): per-batch
         ``pc.unique`` pre-combine (map-only), then one driver-side
         ``np.unique`` over the bounded candidate set — this Ray release's
         sort-based ``groupby``/``sort`` cost ~100 µs per distinct key, so
         the shuffle-free dictionary is ~30x faster at millions of
-        vertices. Beyond the cap we fall back to the distributed
-        sort-based dictionary (build_dictionary)."""
+        vertices. Both the candidate pull and the final key array are
+        gated in bytes (not rows — URL-sized keys, VERDICT r2 #6); beyond
+        the cap we fall back to the distributed sort-based dictionary
+        (build_dictionary)."""
         import ray.data as rd
 
         pb = _per_batch_unique(edges, src, dst, extra_ids=nodes).materialize()
-        n_candidates = pb.count()
-        if n_candidates <= 3 * BROADCAST_MAX_VERTICES:
+        if (pb.size_bytes() or 0) <= 4 * BROADCAST_MAX_BYTES:
             arrs = [
                 b["id"].combine_chunks().to_numpy(zero_copy_only=False)
                 for b in pb.iter_batches(batch_format="pyarrow", batch_size=1 << 22)
@@ -164,7 +179,7 @@ class VertexDict:
                 np.unique(np.concatenate(arrs)) if arrs else np.array([], dtype=object)
             )
             n = len(keys)
-            if n <= BROADCAST_MAX_VERTICES:
+            if _arrow_nbytes(keys) <= BROADCAST_MAX_BYTES:
                 mapping = rd.from_arrow(
                     pa.table(
                         {"id": pa.array(keys), "vid": pa.array(np.arange(n, dtype=np.uint64))}

@@ -46,10 +46,14 @@ def asof_join(left, right, by: list[str] | tuple, left_on: str,
     like ``pandas.merge_asof``).
 
     Right-side columns that collide with left names (other than ``by``)
-    are suffixed with ``suffix``. Timestamps must be totally ordered per
-    key for determinism (ties on ``right_on`` within a key follow
-    merge_asof's last-position rule — deterministic for a given sort,
-    which we pin with a stable (right_on, key) sort).
+    are suffixed with ``suffix``. Ties on ``right_on`` within a key follow
+    merge_asof's last-position rule; to make that deterministic under
+    Ray's nondeterministic block arrival order, the right side is sorted
+    by a TOTAL order — (right_on, by, every remaining right column) — so
+    equal-timestamp rows resolve identically across runs. Rows identical
+    in ALL right columns are interchangeable, so the result is stable.
+    (Columns with unsortable dtypes are skipped from the tiebreak; ties
+    there fall back to arrival order.)
     """
     by = list(by)
     lschema = left.schema()
@@ -75,7 +79,18 @@ def asof_join(left, right, by: list[str] | tuple, left_on: str,
         if lp.empty:
             return lp.reindex(columns=out_cols)
         ls = lp.sort_values([left_on] + by, kind="mergesort")
-        rs = rp.sort_values([right_on] + by, kind="mergesort")
+        # total-order right sort: break right_on ties on every remaining
+        # (sortable) column so the winner doesn't depend on block order
+        keys = [right_on] + by
+        tiebreak = [
+            c for c in sorted(rp.columns)
+            if c not in keys
+            and (rp[c].dtype != object or (len(rp) and isinstance(rp[c].iloc[0], str)))
+        ]
+        try:
+            rs = rp.sort_values(keys + tiebreak, kind="mergesort")
+        except TypeError:  # unsortable payload column: key-only order
+            rs = rp.sort_values(keys, kind="mergesort")
         m = pd.merge_asof(
             ls, rs, left_on=left_on, right_on=right_on, by=by,
             direction=direction, tolerance=tolerance,

@@ -292,3 +292,20 @@ def test_sssp_weighted_matches_networkx(ray_session):
     for n in set(df["id"]):
         w = want.get(n, -1.0)
         assert abs(got[n] - w) < 1e-9, (n, got[n], w)
+
+
+def test_bfs_closeness_attribute(ray_session):
+    """closeness_ = n_reached / sum(dist over reached landmarks); 0.0 when
+    nothing is at positive distance (ADVICE r2: the docstring promised the
+    attribute but fit() never set it)."""
+    from mercury_graph_ray.algos.bfs import BfsDistances
+
+    df = toy_edges()
+    b = BfsDistances(["a", "x"], undirected=True, n_parts=3).fit(Graph(df))
+    d = b.distances_.to_pandas().set_index("id")
+    c = b.closeness_.to_pandas().set_index("id")["closeness"]
+    for v in d.index:
+        hops = [d.loc[v, "hops_a"], d.loc[v, "hops_x"]]
+        reached = [h for h in hops if h >= 0]
+        want = len(reached) / sum(reached) if sum(reached) > 0 else 0.0
+        assert abs(c[v] - want) < 1e-12, v

@@ -25,7 +25,7 @@ def deadend4():
 def test_deadend_walks_dont_crash(ray_session):
     nv = Node2Vec(dimension=8, num_epochs=6, num_paths_per_node=1, seed=3, n_parts=2)
     nv.fit(deadend4())
-    assert len(nv.paths_) >= 1
+    assert nv.paths_.count() >= 1  # paths_ is a streamed walks Dataset
     emb = nv.embedding()
     assert set(emb.node_id) <= {"A", "B", "C", "D"}
     assert len(emb.vector.iloc[0]) == 8
@@ -40,7 +40,7 @@ def test_num_paths_scaling(ray_session):
     p9.fit(g2)
     # 3x the parameter -> 3x the generated walks (before the len>1 filter,
     # every source has at least one out-edge except D, which is dropped)
-    assert len(p9.paths_) == 3 * len(p3.paths_)
+    assert p9.paths_.count() == 3 * p3.paths_.count()
 
 
 def test_path_cache_roundtrip(ray_session, tmp_path):
@@ -51,8 +51,8 @@ def test_path_cache_roundtrip(ray_session, tmp_path):
     b = Node2Vec(dimension=4, num_epochs=5, seed=9, path_cache=cache,
                  use_cached_rw=True, n_parts=2)
     b.fit(deadend4())
-    pa_ = sorted(tuple(p) for p in a.paths_["random_walks"])
-    pb = sorted(tuple(p) for p in b.paths_["random_walks"])
+    pa_ = sorted(tuple(p) for p in a.paths_.to_pandas()["random_walks"])
+    pb = sorted(tuple(p) for p in b.paths_.to_pandas()["random_walks"])
     assert pa_ == pb
     np.testing.assert_allclose(
         np.stack(a.embedding().vector.to_numpy()),

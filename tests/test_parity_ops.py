@@ -215,8 +215,32 @@ def test_influenced_by_distributed_decode_matches_broadcast(ray_session, monkeyp
     fast = _run()
     import mercury_graph_ray.stages.ids as ids_mod
 
-    monkeypatch.setattr(ids_mod, "BROADCAST_MAX_VERTICES", 2)
+    monkeypatch.setattr(ids_mod, "BROADCAST_MAX_BYTES", 2)
     slow = _run()
     assert fast["id"].tolist() == slow["id"].tolist()
     assert (fast["influence"] - slow["influence"]).abs().max() < 1e-12
     assert fast["influenced_by"].tolist() == slow["influenced_by"].tolist()
+
+
+def test_supplier_edges_join_fallback_matches_broadcast(ray_session):
+    """supplier_customer_edges with broadcast_bytes=0 must take the
+    bucketed hash-join path (fact-sized orders at 100 TB) and produce the
+    identical edge table (VERDICT r2 next-round #6)."""
+    from mercury_graph_ray.pipelines.tpch import supplier_customer_edges
+
+    sf = "/root/testdata/sf0.001"
+    fast = (
+        supplier_customer_edges(sf)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    slow = (
+        supplier_customer_edges(sf, broadcast_bytes=0)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    assert fast["src"].tolist() == slow["src"].tolist()
+    assert fast["dst"].tolist() == slow["dst"].tolist()
+    assert (fast["weight"] - slow["weight"]).abs().max() == 0.0

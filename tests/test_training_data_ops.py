@@ -233,11 +233,39 @@ def test_hash_function_goldens():
         14695981039346656037,  # None -> ""
         7470513040478400245,
     ]
-    # simhash is case-insensitive (lower() before tokenize): rows 0/1 equal
+    # simhash is case-insensitive (lower() before tokenize): rows 0/1 equal.
+    # Values re-pinned in round 3: the token hash moved from blake2b to the
+    # SQL-expressible two-lane polynomial (_poly_hash_tokens) so the
+    # simhash_dedup_pairs driver query carries an exact DuckDB oracle.
     assert simhash64(s).tolist() == [
-        3835468261877862402,
-        3835468261877862402,
+        11699788955238006793,
+        11699788955238006793,
         0,
         0,
-        1754752803754842580,
+        15986681569326662535,
     ]
+
+
+def test_duplicate_doc_id_rows_produce_no_self_pairs(ray_session):
+    """Duplicate doc_id rows in the input must not yield a == b self-pairs
+    (est_jaccard 1.0 / hamming 0) from the bucketed pair explode — the
+    vectorized rewrite had dropped the per-bucket np.unique(doc) that
+    filtered them (ADVICE r2, stages/dedup._segment_pair_positions)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from mercury_graph_ray.stages.dedup import minhash_lsh_pairs, simhash_pairs
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 1, 2, 3, 3, 3],
+            "text": ["alpha beta gamma delta epsilon zeta"] * 6,
+        }
+    )
+    ds = rd.from_pandas(df)
+    mh = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    assert (mh["a"] != mh["b"]).all()
+    assert {(1, 2), (1, 3), (2, 3)} <= set(zip(mh["a"], mh["b"]))
+    sh = simhash_pairs(ds, max_hamming=3).to_pandas()
+    assert (sh["a"] != sh["b"]).all()
+    assert {(1, 2), (1, 3), (2, 3)} <= set(zip(sh["a"], sh["b"]))
