@@ -79,10 +79,86 @@ class _CcProgram(VertexProgram):
         return {"n_changed": changed}
 
 
+class _CcJumpProgram(_CcProgram):
+    """Min-hook + pointer-jumping CC: O(log n) supersteps, not O(diameter).
+
+    Web graphs have long chains (redirect ladders, pagination trails), so
+    pure min-label propagation pays diameter-many rounds. This program
+    interleaves the static-route edge-min superstep (``_mode='edge'``,
+    inherited) with label-forest shortcutting ``f[v] <- f[f[v]]``, the
+    Shiloach-Vishkin / pointer-doubling step that halves every chain per
+    application. The shortcut needs a value owned by another partition, so
+    it runs as a two-superstep request/reply exchange with DYNAMIC routes
+    (each partition asks the owners of its distinct current labels):
+
+    - ``_mode='req'``: scatter ships ``unique(label)`` split by owner
+      partition (``parent %% P``); gather stores the incoming queries.
+    - ``_mode='reply'``: scatter answers each stored query array with the
+      owners' current labels (order-preserving); gather folds
+      ``label = min(label, label[label])`` via one searchsorted lookup
+      and flips back to ``'req'``.
+
+    Monotonicity keeps it exact: labels start at the vertex id, only ever
+    decrease via mins over same-component ids, and the component minimum
+    is a fixed point — so an edge superstep with zero changes certifies
+    the same (id, min-id component) output as plain propagation.
+
+    The driver owns phase switches (``BspEngine.broadcast_state``): one
+    edge step, then req/reply pairs until no label changes, repeated until
+    the edge step itself is a no-op.
+    """
+
+    def scatter(self, csr, state, cache) -> list:
+        mode = state.get("_mode", "edge")
+        if mode == "edge":
+            return super().scatter(csr, state, cache)
+        p = csr.n_parts
+        f = state["label"]
+        if mode == "req":
+            parents = np.unique(f) if len(f) else np.array([], np.uint64)
+            owner = (parents % np.uint64(p)).astype(np.int64)
+            reqs = [parents[owner == r] for r in range(p)]
+            state["_reqs"] = reqs
+            return reqs
+        # mode == "reply": answer the stored queries (vertex ids we own)
+        pp = np.uint64(p)
+        return [
+            f[((q // pp)).astype(np.int64)] if len(q) else np.array([], np.uint64)
+            for q in state["_inc"]
+        ]
+
+    def gather_apply(self, csr, state, payloads, cache, recv) -> dict:
+        mode = state.get("_mode", "edge")
+        if mode == "edge":
+            return super().gather_apply(csr, state, payloads, cache, recv)
+        if mode == "req":
+            state["_inc"] = [np.asarray(x, np.uint64) for x in payloads]
+            state["_mode"] = "reply"
+            return {"n_changed": 0}
+        # reply: payloads[r] answers state["_reqs"][r] positionally
+        state["_mode"] = "req"
+        old = state["label"]
+        keys = np.concatenate(state["_reqs"]) if state["_reqs"] else np.array([], np.uint64)
+        vals = np.concatenate([np.asarray(x, np.uint64) for x in payloads])
+        if len(old) == 0 or len(keys) == 0:
+            return {"n_changed": 0}
+        order = np.argsort(keys, kind="stable")
+        pos = np.searchsorted(keys[order], old)
+        new = np.minimum(old, vals[order][pos])
+        changed = int((new != old).sum())
+        state["label"] = new
+        return {"n_changed": changed}
+
+
 class ConnectedComponents(BaseClass):
     """``ConnectedComponents().fit(g)`` sets ``components_``: a Dataset of
     (id, component, component_size) in original key space, plus
-    ``n_components_`` and ``n_iter_``."""
+    ``n_components_`` and ``n_iter_`` (supersteps run).
+
+    ``pointer_jumping=True`` (default) runs the O(log n)-superstep
+    min-hook + shortcut program (:class:`_CcJumpProgram`); ``False`` keeps
+    pure min-label propagation (O(diameter) supersteps). Identical exact
+    output either way."""
 
     def __init__(
         self,
@@ -93,6 +169,7 @@ class ConnectedComponents(BaseClass):
         checkpoint_every: int = 5,
         resume: bool = False,
         actor_num_cpus: float | None = None,
+        pointer_jumping: bool = True,
     ):
         self.max_iter = max_iter
         self.n_parts = n_parts
@@ -101,6 +178,7 @@ class ConnectedComponents(BaseClass):
         self.checkpoint_every = checkpoint_every
         self.resume = resume
         self.actor_num_cpus = actor_num_cpus
+        self.pointer_jumping = pointer_jumping
 
     def fit(self, g) -> "ConnectedComponents":
         from ray.data.aggregate import Count
@@ -108,7 +186,8 @@ class ConnectedComponents(BaseClass):
         from mercury_graph_ray.state.checkpoint import CheckpointManager
 
         vd, gas = prepare(g, symmetrize=True, n_parts=self.n_parts, workdir=self.workdir)
-        engine = BspEngine(gas, _CcProgram(), actor_num_cpus=self.actor_num_cpus)
+        program = _CcJumpProgram() if self.pointer_jumping else _CcProgram()
+        engine = BspEngine(gas, program, actor_num_cpus=self.actor_num_cpus)
 
         ckpt = None
         if self.checkpoint_dir:
@@ -125,20 +204,45 @@ class ConnectedComponents(BaseClass):
                 m = manifest.get("metrics", {})
                 converged = bool(m.get("converged", False)) or m.get("n_changed") == 0
 
+        def _run(fn) -> int:
+            return int(sum(m["n_changed"] for m in fn()))
+
         it = start_iter
-        if not converged:
+        if not converged and not self.pointer_jumping:
             for it in range(start_iter + 1, self.max_iter + 1):
-                metrics = engine.superstep()
-                n_changed = int(sum(m["n_changed"] for m in metrics))
+                n_changed = _run(engine.superstep)
                 if ckpt and (it % self.checkpoint_every == 0):
                     engine.save_checkpoint(ckpt, it, {"n_changed": n_changed, "n_iter": it})
                 if n_changed == 0:
                     converged = True
                     break
-            if not converged:
-                raise RuntimeError(
-                    f"connected components did not converge in {self.max_iter} iters"
-                )
+        elif not converged:
+            # phase loop: one edge-min superstep; if it changed anything,
+            # shortcut with req/reply pairs until the jump is a no-op;
+            # repeat. An edge step with zero changes certifies the exact
+            # min-label fixed point (see _CcJumpProgram).
+            while it < self.max_iter:
+                engine.broadcast_state(_mode="edge")
+                it += 1
+                edge_changed = _run(engine.superstep)
+                if ckpt:
+                    engine.save_checkpoint(
+                        ckpt, it, {"n_changed": edge_changed, "n_iter": it}
+                    )
+                if edge_changed == 0:
+                    converged = True
+                    break
+                engine.broadcast_state(_mode="req")
+                while it + 2 <= self.max_iter:
+                    it += 1
+                    engine.superstep()  # request: ship distinct labels
+                    it += 1
+                    if _run(engine.superstep) == 0:  # reply: apply f[f[v]]
+                        break
+        if not converged:
+            raise RuntimeError(
+                f"connected components did not converge in {self.max_iter} supersteps"
+            )
         if ckpt:
             engine.save_checkpoint(ckpt, it, {"n_changed": 0, "n_iter": it, "converged": True})
         self.n_iter_ = it

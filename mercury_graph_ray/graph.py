@@ -164,9 +164,9 @@ class Graph:
 
         rev = rename_cols(e, {"src": "dst", "dst": "src"}).select_columns(cols)
         both = e.union(rev)
-        sch = self._edges.schema()
-        types = dict(zip(sch.names, sch.types))
-        from mercury_graph_ray.stages.util import bucket_sum_by
+        from mercury_graph_ray.stages.util import arrow_types, bucket_sum_by
+
+        types = arrow_types(self._edges)
 
         if "weight" in cols:
             out = bucket_sum_by(
@@ -246,8 +246,9 @@ class Graph:
                 _zeros, batch_format="pyarrow"
             )
             both = partials.union(zeros)
-        sch = self._edges.schema()
-        id_type = dict(zip(sch.names, sch.types))["src"]
+        from mercury_graph_ray.stages.util import arrow_types
+
+        id_type = arrow_types(self._edges)["src"]
         agg = bucket_sum_by(
             both,
             "id",
@@ -281,8 +282,9 @@ class Graph:
         from mercury_graph_ray.stages.util import bucket_sum_by, rename_cols
 
         alias = f"w_{direction}"
-        sch = self._edges.schema()
-        id_type = dict(zip(sch.names, sch.types))[key]
+        from mercury_graph_ray.stages.util import arrow_types
+
+        id_type = arrow_types(self._edges)[key]
         return bucket_sum_by(
             rename_cols(
                 rename_cols(e.select_columns([key, "weight"]), {key: "id"}),

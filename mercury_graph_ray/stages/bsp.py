@@ -131,6 +131,11 @@ class _PartitionActor:
             self.csr, self.state, list(payloads), self.cache, self.recv
         )
 
+    def update_state(self, **kv):
+        """Driver-pushed scalar state (e.g. a phase switch for programs
+        whose superstep alternates communication patterns)."""
+        self.state.update(kv)
+
     def state_table(self) -> pa.Table:
         csr = self.csr
         ids = np.arange(csr.part, csr.n_vertices, csr.n_parts, dtype=np.uint64)
@@ -216,6 +221,13 @@ class BspEngine:
                 for q in range(p)
             ]
         )
+
+    def broadcast_state(self, **kv) -> None:
+        """Set scalar state keys on every partition actor (one RPC round;
+        used at phase transitions of multi-mode programs, not per step)."""
+        import ray
+
+        ray.get([a.update_state.remote(**kv) for a in self.actors])
 
     def state_dataset(self):
         """Export the current state as a Dataset (one block per partition)."""

@@ -23,6 +23,26 @@ def rename_cols(ds, mapping: dict[str, str]):
     return ds.map_batches(_r, batch_format="pyarrow")
 
 
+def arrow_types(ds) -> dict[str, pa.DataType]:
+    """Column name -> pyarrow DataType for any Dataset.
+
+    ``Dataset.schema().types`` returns pyarrow types for Arrow-blocked
+    datasets but raw numpy dtypes / Python classes (``object``) for
+    pandas-blocked ones (``rd.from_pandas``); normalize so schema-driven
+    code (ensure_schema targets, type dispatch) works on both."""
+    sch = ds.schema()
+    out: dict[str, pa.DataType] = {}
+    for n, t in zip(sch.names, sch.types):
+        if isinstance(t, pa.DataType):
+            out[n] = t
+        else:
+            try:
+                out[n] = pa.from_numpy_dtype(t)
+            except (pa.ArrowNotImplementedError, TypeError):
+                out[n] = pa.string()  # object dtype: string keys
+    return out
+
+
 def ensure_schema(ds, schema: dict[str, pa.DataType]):
     """Normalize every block to exactly ``schema`` (column order + types).
 

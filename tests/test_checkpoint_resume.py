@@ -83,19 +83,26 @@ def test_resume_converged_with_smaller_max_iter(ray_session, tmp_path, chain_edg
 
 
 def test_cc_resume_exact(ray_session, tmp_path, chain_edges):
+    # pointer_jumping=False: the n_iter_ equality below relies on the
+    # monotone propagation loop replaying identically from a checkpoint;
+    # the jump path's superstep count legitimately differs after resume
+    # (same labels, different phase boundaries) — jump-path resume is
+    # covered by test_algos.test_cc_pointer_jumping_resume.
     ck = str(tmp_path / "ck")
-    full = ConnectedComponents(n_parts=4).fit(Graph(chain_edges))
+    full = ConnectedComponents(n_parts=4, pointer_jumping=False).fit(Graph(chain_edges))
     want = full.components_.to_pandas().sort_values("id").reset_index(drop=True)
 
     try:
-        ConnectedComponents(n_parts=4, max_iter=5, checkpoint_dir=ck, checkpoint_every=2).fit(
-            Graph(chain_edges)
-        )
+        ConnectedComponents(
+            n_parts=4, max_iter=5, checkpoint_dir=ck, checkpoint_every=2,
+            pointer_jumping=False,
+        ).fit(Graph(chain_edges))
     except RuntimeError:
         pass  # expected: did not converge in 5 iters (kill point)
 
     resumed = ConnectedComponents(
-        n_parts=4, checkpoint_dir=ck, checkpoint_every=2, resume=True
+        n_parts=4, checkpoint_dir=ck, checkpoint_every=2, resume=True,
+        pointer_jumping=False,
     ).fit(Graph(chain_edges))
     got = resumed.components_.to_pandas().sort_values("id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)

@@ -317,3 +317,55 @@ def test_louvain_distributed_above_threshold(ray_session):
     cl = a.assign(clique=a["node_id"].astype(np.int64) // size)
     assert (cl.groupby("clique")["cluster"].nunique() == 1).all()
     assert 1 < a["cluster"].nunique() <= cliques
+
+
+def test_random_walker_all_sources_distributed_init(ray_session):
+    """source_id=None walks from EVERY vertex with partition-local init
+    (no driver-side vertex list); vids are dense so walker numbering
+    matches the explicit-all-keys path exactly."""
+    g = walker_graph()
+    allv = RandomWalker(num_epochs=5, seed=7, n_parts=3).fit(g, source_id=None)
+    paths = allv.paths_.to_pandas()
+    starts = sorted(p[0] for p in paths.random_walks)
+    assert starts == ["A", "B", "C", "D"]
+    explicit = RandomWalker(num_epochs=5, seed=7, n_parts=3).fit(
+        g, source_id=["A", "B", "C", "D"]
+    )
+    a = sorted(map(tuple, paths.random_walks))
+    b = sorted(map(tuple, explicit.paths_.to_pandas().random_walks))
+    assert a == b
+
+    # deterministic thinning: the stable_mask subset of the full run
+    some = RandomWalker(num_epochs=5, seed=7, n_parts=3).fit(
+        g, source_id=None, sample_ratio=0.5, sample_seed=3
+    )
+    sub = some.paths_.to_pandas()
+    assert 1 <= len(sub) < 4
+    again = RandomWalker(num_epochs=5, seed=7, n_parts=2).fit(
+        g, source_id=None, sample_ratio=0.5, sample_seed=3
+    ).paths_.to_pandas()
+    assert sorted(map(tuple, sub.random_walks)) == sorted(map(tuple, again.random_walks))
+
+
+def test_random_walker_distributed_decode(ray_session, monkeypatch):
+    """Dictionary above the broadcast byte cap: the explode -> join ->
+    regroup decode returns the same walks as the broadcast path."""
+    from mercury_graph_ray.algos.common import prepare
+
+    g = walker_graph()
+    want = (
+        RandomWalker(num_epochs=5, seed=7, n_parts=3)
+        .fit(g, source_id=None)
+        .paths_.to_pandas()
+    )
+    g2 = walker_graph()
+    vd, _ = prepare(g2, symmetrize=False, n_parts=3)
+    vd._broadcast_ref = None  # force the distributed decode
+    got = (
+        RandomWalker(num_epochs=5, seed=7, n_parts=3)
+        .fit(g2, source_id=None)
+        .paths_.to_pandas()
+    )
+    a = sorted((tuple(r), tuple(w)) for r, w in zip(want.random_walks, want.weights))
+    b = sorted((tuple(r), tuple(w)) for r, w in zip(got.random_walks, got.weights))
+    assert a == b

@@ -269,3 +269,27 @@ def test_duplicate_doc_id_rows_produce_no_self_pairs(ray_session):
     sh = simhash_pairs(ds, max_hamming=3).to_pandas()
     assert (sh["a"] != sh["b"]).all()
     assert {(1, 2), (1, 3), (2, 3)} <= set(zip(sh["a"], sh["b"]))
+
+
+def test_ngram_jaccard_consecutive_bucketed(ray_session):
+    """The int-bucketed rewrite (one task per bucket, vectorized
+    intersections) matches a brute-force per-pair reference exactly."""
+    from mercury_graph_ray.pipelines.training_data import (
+        docs_ngram_jaccard_consecutive,
+    )
+    from mercury_graph_ray.stages.dedup import shingle_hashes
+
+    sf = "/root/testdata/sf0.001"
+    got = docs_ngram_jaccard_consecutive(sf)
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    hs = {int(r.doc_id): shingle_hashes(r.text or "", 5) for r in docs.itertuples()}
+    ids = sorted(hs)
+    assert len(got) == len(ids) - 1
+    for a, b in zip(ids, ids[1:]):
+        row = got[(got.doc_a == a) & (got.doc_b == b)]
+        assert len(row) == 1, (a, b)
+        inter = len(np.intersect1d(hs[a], hs[b], assume_unique=True))
+        assert int(row.n_a.iloc[0]) == len(hs[a])
+        assert int(row.n_b.iloc[0]) == len(hs[b])
+        assert int(row.n_inter.iloc[0]) == inter, (a, b)
