@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_fixed20_supplier_customer": tpch.pagerank_fixed20_supplier_customer,
         "connected_components_supplier_customer": tpch.connected_components_supplier_customer,
         "bfs_hops_supplier_s1": tpch.bfs_hops_supplier_s1,
+        "closeness_landmarks_suppliers": tpch.closeness_landmarks_suppliers,
         "label_propagation_supplier_customer": tpch.label_propagation_supplier_customer,
         # temporal joins + windows (stages/temporal: as-of, range, hopping)
         "events_last_purchase_asof": tpch.events_last_purchase_asof,
@@ -306,6 +307,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.id, CAST(coalesce(b.hops, -1) AS BIGINT) AS hops
             FROM nodes n LEFT JOIN best b ON b.id = n.id
             ORDER BY n.id
+        """,
+        # landmark closeness from the same bounded-BFS CTE, one per
+        # landmark: closeness = n_reached / sum(hops over reached
+        # landmarks), 0.0 when no landmark is at positive distance
+        # (matches algos/bfs.BfsDistances.closeness_ exactly — a source
+        # vertex counts itself as reached at hops 0)
+        "closeness_landmarks_suppliers": """
+            WITH RECURSIVE
+            e0 AS (
+                SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2
+            ),
+            e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+            nodes AS (SELECT DISTINCT src AS id FROM e),
+            r1(id, hops) AS (
+                SELECT 's1', 0
+                UNION
+                SELECT e.dst, r.hops + 1 FROM r1 r JOIN e ON e.src = r.id
+                WHERE r.hops < 24
+            ),
+            r2(id, hops) AS (
+                SELECT 's2', 0
+                UNION
+                SELECT e.dst, r.hops + 1 FROM r2 r JOIN e ON e.src = r.id
+                WHERE r.hops < 24
+            ),
+            r3(id, hops) AS (
+                SELECT 'c1', 0
+                UNION
+                SELECT e.dst, r.hops + 1 FROM r3 r JOIN e ON e.src = r.id
+                WHERE r.hops < 24
+            ),
+            b1 AS (SELECT id, min(hops) AS h FROM r1 GROUP BY id),
+            b2 AS (SELECT id, min(hops) AS h FROM r2 GROUP BY id),
+            b3 AS (SELECT id, min(hops) AS h FROM r3 GROUP BY id),
+            j AS (
+                SELECT n.id, b1.h AS h1, b2.h AS h2, b3.h AS h3
+                FROM nodes n
+                LEFT JOIN b1 ON b1.id = n.id
+                LEFT JOIN b2 ON b2.id = n.id
+                LEFT JOIN b3 ON b3.id = n.id
+            )
+            SELECT id,
+                   CASE WHEN coalesce(h1, 0) + coalesce(h2, 0) + coalesce(h3, 0) > 0
+                        THEN CAST((CASE WHEN h1 IS NOT NULL THEN 1 ELSE 0 END)
+                                + (CASE WHEN h2 IS NOT NULL THEN 1 ELSE 0 END)
+                                + (CASE WHEN h3 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                             / (coalesce(h1, 0) + coalesce(h2, 0) + coalesce(h3, 0))
+                        ELSE 0.0 END AS closeness
+            FROM j ORDER BY id
         """,
         "spread_activation_suppliers": """
             WITH e AS (

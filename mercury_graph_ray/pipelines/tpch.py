@@ -389,6 +389,24 @@ def bfs_hops_supplier_s1(sf_dir: str):
     return df.sort_values("id").reset_index(drop=True)[["id", "hops"]]
 
 
+def closeness_landmarks_suppliers(sf_dir: str):
+    """Landmark closeness over the undirected supplier-customer graph:
+    closeness = n_reached / sum(hops over reached landmarks), 0.0 when no
+    landmark is at positive distance (algos/bfs.BfsDistances.closeness_ —
+    the scale path replacing the reference's exact small-graph closeness,
+    mercury/graph/core/graph.py:656-671). SQL oracle: one bounded
+    recursive CTE per landmark."""
+    from mercury_graph_ray.algos.bfs import BfsDistances
+    from mercury_graph_ray.graph import Graph
+
+    bd = BfsDistances(sources=["s1", "s2", "c1"], n_parts=8).fit(
+        Graph(supplier_customer_edges(sf_dir).materialize())
+    )
+    df = bd.closeness_.to_pandas()
+    df["id"] = df["id"].astype(str)
+    return df.sort_values("id").reset_index(drop=True)[["id", "closeness"]]
+
+
 def connected_components_supplier_customer(sf_dir: str):
     from mercury_graph_ray.algos.connected_components import ConnectedComponents
     from mercury_graph_ray.graph import Graph

@@ -168,3 +168,109 @@ def khop_subgraph(g, start_id, depth: int = 2, limit: int = 100) -> dict:
             if s in int_id and d in int_id
         ],
     }
+
+
+_MOEBIUS_HTML = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>moebius graph</title>
+<style>
+ body { margin: 0; font: 12px sans-serif; background: #ffffff; }
+ #cv { display: block; }
+ #tip { position: fixed; pointer-events: none; background: #222; color: #fff;
+        padding: 2px 6px; border-radius: 3px; visibility: hidden; }
+</style></head>
+<body>
+<canvas id="cv"></canvas><div id="tip"></div>
+<script id="graph-data" type="application/json">__DATA__</script>
+<script>
+// Self-contained force layout (Fruchterman-Reingold style): O(n^2)
+// repulsion per frame is fine at the export's node budget (<= limit).
+var data = JSON.parse(document.getElementById("graph-data").textContent);
+var cv = document.getElementById("cv"), ctx = cv.getContext("2d");
+var W = window.innerWidth, H = window.innerHeight;
+cv.width = W; cv.height = H;
+var N = data.nodes.length, idx = {};
+data.nodes.forEach(function (n, i) { idx[n.id] = i; });
+// deterministic golden-angle initial placement
+var px = new Float64Array(N), py = new Float64Array(N);
+for (var i = 0; i < N; i++) {
+  var r = 0.42 * Math.min(W, H) * Math.sqrt((i + 0.5) / N), a = 2.39996322972865332 * i;
+  px[i] = W / 2 + r * Math.cos(a); py[i] = H / 2 + r * Math.sin(a);
+}
+var links = data.links.map(function (l) {
+  return [idx[l.source], idx[l.target], +l.value || 1];
+}).filter(function (l) { return l[0] !== undefined && l[1] !== undefined; });
+var maxCount = 1;
+data.nodes.forEach(function (n) { maxCount = Math.max(maxCount, n.count || 1); });
+function radius(n) { return 3 + 9 * Math.sqrt((n.count || 1) / maxCount); }
+var K = Math.sqrt(W * H / Math.max(N, 1)), steps = 0, MAX_STEPS = 300;
+function step(temp) {
+  var dx = new Float64Array(N), dy = new Float64Array(N), i, j;
+  for (i = 0; i < N; i++) for (j = i + 1; j < N; j++) {
+    var ux = px[i] - px[j], uy = py[i] - py[j];
+    var d2 = ux * ux + uy * uy + 0.01, f = K * K / d2;
+    dx[i] += ux * f; dy[i] += uy * f; dx[j] -= ux * f; dy[j] -= uy * f;
+  }
+  links.forEach(function (l) {
+    var ux = px[l[0]] - px[l[1]], uy = py[l[0]] - py[l[1]];
+    var d = Math.sqrt(ux * ux + uy * uy) + 0.01, f = d / K;
+    dx[l[0]] -= ux * f; dy[l[0]] -= uy * f; dx[l[1]] += ux * f; dy[l[1]] += uy * f;
+  });
+  for (i = 0; i < N; i++) {
+    var m = Math.sqrt(dx[i] * dx[i] + dy[i] * dy[i]) + 1e-9, s = Math.min(m, temp) / m;
+    px[i] = Math.max(10, Math.min(W - 10, px[i] + dx[i] * s));
+    py[i] = Math.max(10, Math.min(H - 10, py[i] + dy[i] * s));
+  }
+}
+function draw() {
+  ctx.clearRect(0, 0, W, H);
+  ctx.strokeStyle = "rgba(120,120,120,0.45)";
+  links.forEach(function (l) {
+    ctx.lineWidth = Math.min(4, 0.5 + Math.log(1 + l[2]));
+    ctx.beginPath(); ctx.moveTo(px[l[0]], py[l[0]]); ctx.lineTo(px[l[1]], py[l[1]]); ctx.stroke();
+  });
+  data.nodes.forEach(function (n, i) {
+    ctx.fillStyle = n._color || "#4682b4";
+    ctx.beginPath(); ctx.arc(px[i], py[i], radius(n), 0, 6.2832); ctx.fill();
+  });
+}
+function tick() {
+  if (steps < MAX_STEPS) { step(10 * (1 - steps / MAX_STEPS) + 0.5); steps++; draw(); requestAnimationFrame(tick); }
+}
+tick();
+var tip = document.getElementById("tip");
+cv.addEventListener("mousemove", function (ev) {
+  var best = -1, bd = 1e18;
+  for (var i = 0; i < N; i++) {
+    var ux = ev.clientX - px[i], uy = ev.clientY - py[i], d = ux * ux + uy * uy;
+    if (d < bd) { bd = d; best = i; }
+  }
+  if (best >= 0 && bd < 400) {
+    var n = data.nodes[best];
+    tip.textContent = n.id + (n.count != null ? " (degree " + n.count + ")" : "");
+    tip.style.left = (ev.clientX + 12) + "px"; tip.style.top = (ev.clientY + 12) + "px";
+    tip.style.visibility = "visible";
+  } else { tip.style.visibility = "hidden"; }
+});
+</script></body></html>
+"""
+
+
+def moebius_html(g, limit: int = 1000, path: str | None = None) -> str:
+    """Standalone interactive HTML for the Moebius export: the
+    ``moebius_json`` payload embedded in a single self-contained page
+    with a vanilla-JS canvas force layout (no external JS libraries, no
+    network). The closest public stand-in for the reference's notebook
+    widget (``mercury/graph/viz/moebius.py:500-546`` ``show()`` renders
+    the same nodes/links JSON through an anywidget frontend); data
+    contract and `_int_id` scheme are identical to ``moebius_json``.
+    ``path`` writes the page to disk and returns it as a string either
+    way."""
+    import json
+
+    payload = json.dumps(moebius_json(g, limit=limit))
+    # '</' inside a <script> block would close it early
+    html = _MOEBIUS_HTML.replace("__DATA__", payload.replace("</", "<\\/"))
+    if path:
+        with open(path, "w") as f:
+            f.write(html)
+    return html

@@ -167,3 +167,24 @@ def test_str_and_repr_convention(ray_session):
 
     g2 = Graph(edges, keys)  # no nodes table
     assert "nodes=None" in repr(g2).replace(" ", "")
+
+
+def test_moebius_html_standalone(ray_session, tmp_path):
+    """moebius_html embeds the exact moebius_json payload in one
+    self-contained page (no external scripts/network)."""
+    from mercury_graph_ray.pipelines.viz import moebius_html
+
+    edges, _ = toy_social()
+    g = Graph(edges, keys={"src": "Person_A", "dst": "Person_B", "weight": "Duration"})
+    out_path = str(tmp_path / "g.html")
+    html = moebius_html(g, path=out_path)
+    assert open(out_path).read() == html
+    # the embedded payload round-trips to the moebius_json contract
+    start = html.index('type="application/json">') + len('type="application/json">')
+    end = html.index("</script>", start)
+    payload = json.loads(html[start:end].replace("<\\/", "</"))
+    want = moebius_json(g)
+    assert payload == json.loads(json.dumps(want))
+    # self-contained: no external resource loads
+    assert "http://" not in html and "https://" not in html
+    assert "src=" not in html.split("<script")[0]

@@ -72,3 +72,57 @@ def test_shingle_hash_set_parity(text, k):
     b = _shingle_hashes_blake2b(text, k)
     assert len(a) == len(b)
     assert (np.sort(a) == a).all()  # sorted-unique contract
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=60,
+    ),
+    seed=st.integers(0, 3),
+)
+@settings(max_examples=6, deadline=None)
+def test_cc_pointer_jumping_random_graphs(edges, seed):
+    """Pointer-jumping CC == union-find oracle (exact min-id labels and
+    sizes) on arbitrary small multigraphs, any partition count."""
+    import pandas as pd
+
+    from mercury_graph_ray.algos.connected_components import ConnectedComponents
+    from mercury_graph_ray.graph import Graph
+
+    df = pd.DataFrame(
+        {
+            "src": [f"v{a:02d}" for a, _ in edges],
+            "dst": [f"v{b:02d}" for _, b in edges],
+            "weight": 1.0,
+        }
+    )
+    cc = ConnectedComponents(n_parts=2 + seed).fit(Graph(rd.from_pandas(df)))
+    got = cc.components_.to_pandas()
+
+    # union-find oracle
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(f"v{a:02d}"), find(f"v{b:02d}")
+        if ra != rb:
+            parent[ra] = rb
+    roots = {v: find(v) for v in parent}
+    comps: dict = {}
+    for v, r in roots.items():
+        comps.setdefault(r, set()).add(v)
+    want = {}
+    for members in comps.values():
+        m = min(members)
+        for v in members:
+            want[v] = (m, len(members))
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        assert (r.component, r.component_size) == want[r.id], r.id
