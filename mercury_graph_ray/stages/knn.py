@@ -75,44 +75,148 @@ def brute_force_topk(
     return out.reset_index(drop=True)
 
 
-def exact_cosine_pairs(ds, threshold: float, *, vec_col="embedding", id_col="vec_id"):
+def exact_cosine_pairs(ds, threshold: float, *, vec_col="embedding", id_col="vec_id",
+                       block_rows: int = 16384, index_dir: str | None = None):
     """Exact all-pairs cosine similarity ≥ ``threshold`` (pairs a < b).
 
     The exactness BASELINE for the LSH near-dup path
-    (stages/dedup.embedding_dup_pairs): the full unit-row matrix is
-    broadcast once (``ray.put``), the table streams through one
-    ``map_batches`` pass computing a (batch × n) matmul — no shuffle.
-    O(n²) similarity work and an O(n·d) broadcast: correct and fast up to
-    ~10^6 vectors; at corpus scale use the hyperplane-LSH bucketed path
-    and keep this as its recall oracle on samples.
+    (stages/dedup.embedding_dup_pairs). Two regimes, identical output:
+
+    - **n ≤ block_rows** (bench/oracle scale): the full unit-row matrix is
+      broadcast once (``ray.put``) and the table streams through one
+      ``map_batches`` matmul pass — no shuffle, no disk.
+    - **n > block_rows** (corpus scale): vectors are unit-normalized and
+      written ONCE to parquet partitioned by a hashed block id
+      (``B = ceil(n / block_rows)`` blocks); every block pair (bi ≤ bj)
+      becomes one task that reads exactly two blocks' files and emits its
+      thresholded submatrix — O(n²·d) compute spread over B(B+1)/2 tasks,
+      per-task memory bounded by two blocks, and NO driver-side matrix at
+      any n. The same partitioned-parquet discipline as the IVF index.
     """
     import ray
 
-    mats, idss = [], []
-    for t in ds.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow"):
-        mats.append(np.stack(t[vec_col].to_pylist()).astype(np.float64))
-        idss.append(
-            t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        )
-    all_ids = np.concatenate(idss)
-    ref = ray.put((_unit_rows(np.vstack(mats)), all_ids))
+    n = ds.count()
+    if n <= block_rows:
+        mats, idss = [], []
+        for t in ds.select_columns([id_col, vec_col]).iter_batches(batch_format="pyarrow"):
+            mats.append(np.stack(t[vec_col].to_pylist()).astype(np.float64))
+            idss.append(
+                t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+        all_ids = np.concatenate(idss) if idss else np.empty(0, np.int64)
+        ref = ray.put((_unit_rows(np.vstack(mats)) if mats else np.empty((0, 1)), all_ids))
 
-    def _pairs(t: pa.Table) -> pa.Table:
-        mat, aid = ray.get(ref)
-        vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        def _pairs(t: pa.Table) -> pa.Table:
+            mat, aid = ray.get(ref)
+            vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+            ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            sims = _unit_rows(vecs) @ mat.T
+            mask = (sims >= threshold) & (ids[:, None] < aid[None, :])
+            r, c = np.nonzero(mask)
+            return pa.table(
+                {
+                    "a": pa.array(ids[r]),
+                    "b": pa.array(aid[c]),
+                    "cosine": pa.array(sims[r, c]),
+                }
+            )
+
+        return ds.map_batches(_pairs, batch_format="pyarrow")
+
+    # ---- blocked path
+    import glob
+    import math
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from mercury_graph_ray.stages.util import ensure_schema
+
+    B = math.ceil(n / block_rows)
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="cosblk_", dir="/tmp")
+
+    _M = np.uint64(0x9E3779B97F4A7C15)
+
+    def _assign(t: pa.Table) -> pa.Table:
         ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-        sims = _unit_rows(vecs) @ mat.T
-        mask = (sims >= threshold) & (ids[:, None] < aid[None, :])
-        r, c = np.nonzero(mask)
+        unit = _unit_rows(np.stack(t[vec_col].to_pylist()).astype(np.float64))
+        # splitmix-style id hash so clustered ids still balance blocks
+        h = ids.astype(np.uint64) * _M
+        h ^= h >> np.uint64(29)
+        blk = (h % np.uint64(B)).astype(np.int64)
+        d = unit.shape[1]
         return pa.table(
             {
-                "a": pa.array(ids[r]),
-                "b": pa.array(aid[c]),
-                "cosine": pa.array(sims[r, c]),
+                id_col: pa.array(ids),
+                "unit": pa.FixedSizeListArray.from_arrays(
+                    pa.array(unit.reshape(-1)), d
+                ),
+                "blk": pa.array(blk),
             }
         )
 
-    return ds.map_batches(_pairs, batch_format="pyarrow")
+    ds.select_columns([id_col, vec_col]).map_batches(
+        _assign, batch_format="pyarrow"
+    ).write_parquet(index_dir, partition_cols=["blk"], mode="overwrite")
+
+    desc = rd.from_items(
+        [{"bi": i, "bj": j} for i in range(B) for j in range(i, B)]
+    )
+
+    def _load_block(b: int):
+        files = sorted(glob.glob(os.path.join(index_dir, f"blk={b}", "*.parquet")))
+        if not files:
+            return np.empty(0, np.int64), np.empty((0, 1))
+        t = pa.concat_tables([pq.read_table(f, columns=[id_col, "unit"]) for f in files])
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = t["unit"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        return ids, flat.reshape(len(ids), -1)
+
+    def _block_pair(batch: pd.DataFrame) -> pa.Table:
+        outs_a, outs_b, outs_s = [], [], []
+        for r in batch.itertuples():
+            ida, ma = _load_block(int(r.bi))
+            if r.bi == r.bj:
+                idb, mb = ida, ma
+            else:
+                idb, mb = _load_block(int(r.bj))
+            if len(ida) == 0 or len(idb) == 0:
+                continue
+            sims = ma @ mb.T
+            # each unordered pair appears in exactly one block-pair task;
+            # orient (a, b) = (min, max) — within-block the strict '<'
+            # also drops self-pairs
+            mask = (sims >= threshold) & (ida[:, None] != idb[None, :])
+            rr, cc = np.nonzero(mask)
+            if r.bi == r.bj:
+                keep = ida[rr] < idb[cc]
+                rr, cc = rr[keep], cc[keep]
+            a, b = ida[rr], idb[cc]
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            outs_a.append(lo)
+            outs_b.append(hi)
+            outs_s.append(sims[rr, cc])
+        if not outs_a:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(outs_a)),
+                "b": pa.array(np.concatenate(outs_b)),
+                "cosine": pa.array(np.concatenate(outs_s)),
+            }
+        )
+
+    out = desc.map_batches(_block_pair, batch_format="pandas", batch_size=1)
+    return ensure_schema(
+        out, {"a": pa.int64(), "b": pa.int64(), "cosine": pa.float64()}
+    )
 
 
 class IvfIndex:

@@ -293,3 +293,33 @@ def test_ngram_jaccard_consecutive_bucketed(ray_session):
         assert int(row.n_a.iloc[0]) == len(hs[a])
         assert int(row.n_b.iloc[0]) == len(hs[b])
         assert int(row.n_inter.iloc[0]) == inter, (a, b)
+
+
+def test_exact_cosine_pairs_blocked_matches_broadcast(ray_session):
+    """Forcing the blocked (partitioned-parquet, block-pair-task) path with
+    a tiny block_rows must reproduce the broadcast path exactly: same
+    (a, b) set, cosines equal to 1e-12."""
+    import ray.data as rd
+
+    from mercury_graph_ray.stages.knn import exact_cosine_pairs
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    want = (
+        exact_cosine_pairs(ds, threshold=0.4)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert ds.count() > 40  # the forced path must actually block-split
+    got = (
+        exact_cosine_pairs(ds, threshold=0.4, block_rows=20)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got["a"].to_numpy() == want["a"].to_numpy()).all()
+    assert (got["b"].to_numpy() == want["b"].to_numpy()).all()
+    np.testing.assert_allclose(
+        got["cosine"].to_numpy(), want["cosine"].to_numpy(), atol=1e-12, rtol=0
+    )
