@@ -303,6 +303,14 @@ def minhash_lsh_pairs(
     )
     reps_docs = auto_join(docs_small, rep_ids, on=("doc",))
 
+    # cap the actor pool one CPU short of the cluster: a pool that
+    # reserves every slot starves concurrent task stages of the SAME
+    # pipeline (observed as a scheduling-order-dependent hang on 4-CPU
+    # test sessions — the BspEngine headroom rule, stages/bsp.py)
+    import ray
+
+    avail = int(ray.cluster_resources().get("CPU", concurrency)) if ray.is_initialized() else concurrency
+    pool = max(1, min(concurrency, avail - 1))
     sigs = reps_docs.map_batches(
         MinHasher,
         fn_constructor_kwargs={
@@ -313,7 +321,7 @@ def minhash_lsh_pairs(
             "id_col": "doc",
         },
         batch_format="pandas",
-        concurrency=concurrency,
+        concurrency=pool,
     ).materialize()
 
     def _bands(t: pa.Table) -> pa.Table:
