@@ -188,18 +188,11 @@ class Node2Vec(BaseClass):
                  "b": pa.array(inv[ip + 1].astype(np.int64))}
             )
 
-        pair_ds = paths.map_batches(_pairs, batch_format="pyarrow")
-        ab = [
-            (b["a"].combine_chunks().to_numpy(), b["b"].combine_chunks().to_numpy())
-            for b in pair_ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20)
-            if b.num_rows
-        ]
-        a = np.concatenate([x for x, _ in ab]) if ab else np.empty(0, np.int64)
-        b = np.concatenate([y for _, y in ab]) if ab else np.empty(0, np.int64)
-
         try:
             from gensim.models import Word2Vec  # noqa: F401
 
+            # gensim consumes the restartable sentence stream directly —
+            # the int pair Dataset is never built, let alone collected
             model = Word2Vec(
                 _SentenceStream(paths),
                 vector_size=self.dimension,
@@ -209,29 +202,46 @@ class Node2Vec(BaseClass):
             )
             self._vectors = np.stack([model.wv[w] for w in vocab])
             self.trainer_ = "gensim"
+            return self
+
         except ImportError:
-            em = Embeddings(
-                dimension=self.dimension,
-                num_elements=len(vocab),
-                learn_step=self.learn_step,
-                seed=self.seed,
-            )
-            conv = np.stack([a, b], 1)
-            if len(vocab) >= 2:
-                # negative samples: rejection-resample collisions in bulk
-                rng = np.random.default_rng([self.seed, 17])
-                other = rng.integers(0, len(vocab), len(a))
-                bad = (other == a) | (other == b)
-                while bad.any():
-                    other[bad] = rng.integers(0, len(vocab), int(bad.sum()))
+            pass
+
+        # elliptic fallback: STREAM the pair Dataset through the trainer —
+        # the model is a (vocab x dim) driver-side matrix (like gensim's),
+        # but the corpus-sized pair arrays never concatenate on the driver.
+        # Deterministic: materialized block order is stable and negatives
+        # are seeded per (epoch, batch).
+        pair_ds = paths.map_batches(_pairs, batch_format="pyarrow").materialize()
+        em = Embeddings(
+            dimension=self.dimension,
+            num_elements=len(vocab),
+            learn_step=self.learn_step,
+            seed=self.seed,
+        )
+        for epoch in range(self.w2v_epochs):
+            for bi, t in enumerate(
+                pair_ds.iter_batches(batch_format="pyarrow", batch_size=1 << 20)
+            ):
+                if t.num_rows == 0:
+                    continue
+                a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+                b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+                conv = np.stack([a, b], 1)
+                if len(vocab) >= 2:
+                    # negative samples: rejection-resample collisions in bulk
+                    rng = np.random.default_rng([self.seed, 17, epoch, bi])
+                    other = rng.integers(0, len(vocab), len(a))
                     bad = (other == a) | (other == b)
-                div = np.stack([a, other], 1)
-            else:
-                div = np.empty((0, 2), np.int64)
-            for _ in range(self.w2v_epochs):
+                    while bad.any():
+                        other[bad] = rng.integers(0, len(vocab), int(bad.sum()))
+                        bad = (other == a) | (other == b)
+                    div = np.stack([a, other], 1)
+                else:
+                    div = np.empty((0, 2), np.int64)
                 em.fit(converge=conv, diverge=div)
-            self._vectors = em.embeddings_matrix_
-            self.trainer_ = "elliptic-fallback"
+        self._vectors = em.embeddings_matrix_
+        self.trainer_ = "elliptic-fallback"
         return self
 
     # ----------------------------------------------------------- queries
