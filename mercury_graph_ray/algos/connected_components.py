@@ -221,14 +221,21 @@ class ConnectedComponents(BaseClass):
             # shortcut with req/reply pairs until the jump is a no-op;
             # repeat. An edge step with zero changes certifies the exact
             # min-label fixed point (see _CcJumpProgram).
+            last_ckpt = start_iter
             while it < self.max_iter:
                 engine.broadcast_state(_mode="edge")
                 it += 1
                 edge_changed = _run(engine.superstep)
-                if ckpt:
+                # edge-step states are the resumable points of the phase
+                # loop, but the checkpoint_every contract still bounds the
+                # full-state write frequency (the write is all P actors
+                # rewriting their label vectors — it must not eat the
+                # O(log n) superstep win)
+                if ckpt and (it - last_ckpt >= self.checkpoint_every):
                     engine.save_checkpoint(
                         ckpt, it, {"n_changed": edge_changed, "n_iter": it}
                     )
+                    last_ckpt = it
                 if edge_changed == 0:
                     converged = True
                     break

@@ -164,7 +164,12 @@ class Node2Vec(BaseClass):
         )
         vocab = vocab_arr.tolist()
         self.node_ids = vocab
-        vocab_ref = ray.put(vocab_arr)
+        # broadcast as a fixed-width 'U' array: zero-copy-ish numpy
+        # buffer (an object array would re-pickle per ray.get) and
+        # searchsorted compares by memcmp instead of PyObject calls
+        vocab_ref = ray.put(
+            np.asarray(vocab_arr, dtype="U") if len(vocab_arr) else np.empty(0, "U1")
+        )
 
         # ---- skip-gram pairs: per-batch flatten + searchsorted against the
         # broadcast vocab; consecutive (i, i+1) positions that do not cross

@@ -89,8 +89,9 @@ def write_parquet_resumable(ds, path, partition_col: str):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    sch = ds.schema()
-    ftype = dict(zip(sch.names, sch.types)).get(partition_col)
+    from mercury_graph_ray.stages.util import arrow_types
+
+    ftype = arrow_types(ds).get(partition_col)
     if isinstance(ftype, pa.DataType) and not (
         pa.types.is_integer(ftype)
         or pa.types.is_string(ftype)

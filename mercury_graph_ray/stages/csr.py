@@ -125,7 +125,11 @@ def compile_block(
     ).astype(np.int64)
     # dst-major static edge layout: sequential reduceat pre-combines
     order_by_dst = np.argsort(dst_inv, kind="stable")
-    idx_t = np.int32 if len(dst) < (1 << 31) else np.int64
+    # the stored VALUES are local row ids (< n_local), so the downcast
+    # guard must bound n_local, not the edge count — a 3e9-vertex /
+    # 1e8-edge partition would otherwise wrap row ids negative and
+    # silently gather the wrong vertices' state
+    idx_t = np.int32 if n_local < (1 << 31) else np.int64
     row_by_dst = row_of_edge[order_by_dst].astype(idx_t)
     w_norm_by_dst = w_norm[order_by_dst]
     weight_by_dst = w[order_by_dst]

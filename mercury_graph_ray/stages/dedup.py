@@ -309,8 +309,13 @@ def minhash_lsh_pairs(
     # test sessions — the BspEngine headroom rule, stages/bsp.py)
     import ray
 
-    avail = int(ray.cluster_resources().get("CPU", concurrency)) if ray.is_initialized() else concurrency
-    pool = max(1, min(concurrency, avail - 1))
+    if ray.is_initialized():
+        avail = int(ray.cluster_resources().get("CPU", concurrency + 1))
+        pool = max(1, min(concurrency, avail - 1))
+    else:
+        # Ray will auto-init with every machine CPU at execution time —
+        # no headroom conflict to dodge, keep the requested pool
+        pool = concurrency
     sigs = reps_docs.map_batches(
         MinHasher,
         fn_constructor_kwargs={

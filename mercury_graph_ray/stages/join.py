@@ -17,6 +17,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from mercury_graph_ray.stages.util import arrow_types
+
 
 def broadcast_join(left, right_df: pd.DataFrame, on: list[str] | tuple, *,
                    how: str = "inner"):
@@ -29,7 +31,7 @@ def broadcast_join(left, right_df: pd.DataFrame, on: list[str] | tuple, *,
     on = list(on)
     lschema = left.schema()
     lcols = list(lschema.names)
-    ltypes = dict(zip(lschema.names, lschema.types))
+    ltypes = arrow_types(left)
     rcols = list(right_df.columns)
     rtypes = {
         c: pa.Schema.from_pandas(right_df[[c]]).field(c).type for c in rcols
@@ -142,8 +144,8 @@ def hash_join(left, right, on: list[str] | tuple, *, how: str = "inner",
     rschema = right.schema()
     lcols = list(lschema.names)
     rcols = list(rschema.names)
-    ltypes = dict(zip(lschema.names, lschema.types))
-    rtypes = dict(zip(rschema.names, rschema.types))
+    ltypes = arrow_types(left)
+    rtypes = arrow_types(right)
     extra_r = [c for c in rcols if c not in lcols]
     out_cols = lcols + extra_r
     all_types = {**rtypes, **ltypes}  # left wins for shared names

@@ -95,6 +95,11 @@ def exact_cosine_pairs(ds, threshold: float, *, vec_col="embedding", id_col="vec
     """
     import ray
 
+    # materialize once: count() would otherwise EXECUTE the upstream
+    # pipeline a first time just to pick the regime, then the pass below
+    # would execute it again (double inference cost for model-derived
+    # embedding columns); on the materialized handle count is metadata
+    ds = ds.materialize()
     n = ds.count()
     if n <= block_rows:
         mats, idss = [], []
@@ -162,13 +167,31 @@ def exact_cosine_pairs(ds, threshold: float, *, vec_col="embedding", id_col="vec
         _assign, batch_format="pyarrow"
     ).write_parquet(index_dir, partition_cols=["blk"], mode="overwrite")
 
+    # the driver lists each block's files ONCE and ships the manifests in
+    # the descriptors: a worker that cannot see index_dir (e.g. a
+    # node-local /tmp on a multi-node cluster — pass shared storage!)
+    # fails LOUDLY with FileNotFoundError instead of silently gathering
+    # an empty block and dropping pairs. Hash gaps (legitimately empty
+    # blocks) are just empty manifests.
+    block_files = {
+        b: sorted(glob.glob(os.path.join(index_dir, f"blk={b}", "*.parquet")))
+        for b in range(B)
+    }
+    if not any(block_files.values()):
+        raise FileNotFoundError(
+            f"exact_cosine_pairs: no block files written under {index_dir}"
+        )
+
     desc = rd.from_items(
-        [{"bi": i, "bj": j} for i in range(B) for j in range(i, B)]
+        [
+            {"bi": i, "bj": j, "fi": block_files[i], "fj": block_files[j]}
+            for i in range(B)
+            for j in range(i, B)
+        ]
     )
 
-    def _load_block(b: int):
-        files = sorted(glob.glob(os.path.join(index_dir, f"blk={b}", "*.parquet")))
-        if not files:
+    def _load_block(files):
+        if not len(files):
             return np.empty(0, np.int64), np.empty((0, 1))
         t = pa.concat_tables([pq.read_table(f, columns=[id_col, "unit"]) for f in files])
         ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
@@ -178,11 +201,11 @@ def exact_cosine_pairs(ds, threshold: float, *, vec_col="embedding", id_col="vec
     def _block_pair(batch: pd.DataFrame) -> pa.Table:
         outs_a, outs_b, outs_s = [], [], []
         for r in batch.itertuples():
-            ida, ma = _load_block(int(r.bi))
+            ida, ma = _load_block(list(r.fi))
             if r.bi == r.bj:
                 idb, mb = ida, ma
             else:
-                idb, mb = _load_block(int(r.bj))
+                idb, mb = _load_block(list(r.fj))
             if len(ida) == 0 or len(idb) == 0:
                 continue
             sims = ma @ mb.T

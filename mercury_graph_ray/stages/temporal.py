@@ -34,7 +34,7 @@ import pandas as pd
 import pyarrow as pa
 
 from mercury_graph_ray.stages.join import cogroup_buckets
-from mercury_graph_ray.stages.util import rename_cols
+from mercury_graph_ray.stages.util import arrow_types, rename_cols
 
 
 def asof_join(left, right, by: list[str] | tuple, left_on: str,
@@ -52,13 +52,13 @@ def asof_join(left, right, by: list[str] | tuple, left_on: str,
     by a TOTAL order — (right_on, by, every remaining right column) — so
     equal-timestamp rows resolve identically across runs. Rows identical
     in ALL right columns are interchangeable, so the result is stable.
-    (Columns with unsortable dtypes are skipped from the tiebreak; ties
-    there fall back to arrival order.)
+    (Object-dtype tiebreak columns compare by ``repr`` — a total order
+    even with nulls or mixed types.)
     """
     by = list(by)
     lschema = left.schema()
     lcols = list(lschema.names)
-    ltypes = dict(zip(lschema.names, lschema.types))
+    ltypes = arrow_types(left)
 
     # disambiguate right columns (keep `by` shared — it is the co-group key)
     rschema = right.schema()
@@ -66,7 +66,7 @@ def asof_join(left, right, by: list[str] | tuple, left_on: str,
         c: (c + suffix if (c in lcols and c not in by) else c)
         for c in rschema.names
     }
-    rtypes = {ren[n]: t for n, t in zip(rschema.names, rschema.types)}
+    rtypes = {ren[n]: t for n, t in arrow_types(right).items()}
     rcols = list(rtypes)
     right = rename_cols(right, ren)
     right_on = ren.get(right_on, right_on)
@@ -79,18 +79,22 @@ def asof_join(left, right, by: list[str] | tuple, left_on: str,
         if lp.empty:
             return lp.reindex(columns=out_cols)
         ls = lp.sort_values([left_on] + by, kind="mergesort")
-        # total-order right sort: break right_on ties on every remaining
-        # (sortable) column so the winner doesn't depend on block order
+        # total-order right sort: break right_on ties on EVERY remaining
+        # column so the winner doesn't depend on block arrival order.
+        # Object columns sort by repr (a total order even with nulls or
+        # mixed types — sampling the first row to decide sortability
+        # would make the tiebreak itself nondeterministic per group).
         keys = [right_on] + by
-        tiebreak = [
-            c for c in sorted(rp.columns)
-            if c not in keys
-            and (rp[c].dtype != object or (len(rp) and isinstance(rp[c].iloc[0], str)))
-        ]
-        try:
-            rs = rp.sort_values(keys + tiebreak, kind="mergesort")
-        except TypeError:  # unsortable payload column: key-only order
-            rs = rp.sort_values(keys, kind="mergesort")
+        sort_df = pd.DataFrame(index=rp.index)
+        for c in keys:
+            sort_df[c] = rp[c]
+        for c in sorted(rp.columns):
+            if c in keys:
+                continue
+            col = rp[c]
+            sort_df[c] = col.map(repr) if col.dtype == object else col
+        order = sort_df.sort_values(list(sort_df.columns), kind="mergesort").index
+        rs = rp.loc[order]
         m = pd.merge_asof(
             ls, rs, left_on=left_on, right_on=right_on, by=by,
             direction=direction, tolerance=tolerance,
@@ -115,14 +119,14 @@ def range_join(left, right, by: list[str] | tuple, left_on: str,
     by = list(by)
     lschema = left.schema()
     lcols = list(lschema.names)
-    ltypes = dict(zip(lschema.names, lschema.types))
+    ltypes = arrow_types(left)
 
     rschema = right.schema()
     ren = {
         c: (c + suffix if (c in lcols and c not in by) else c)
         for c in rschema.names
     }
-    rtypes = {ren[n]: t for n, t in zip(rschema.names, rschema.types)}
+    rtypes = {ren[n]: t for n, t in arrow_types(right).items()}
     rcols = list(rtypes)
     right = rename_cols(right, ren)
     right_on = ren.get(right_on, right_on)

@@ -368,13 +368,16 @@ def test_cc_pointer_jumping_resume(ray_session, tmp_path):
 
     try:
         ConnectedComponents(
-            n_parts=4, max_iter=4, checkpoint_dir=ck, pointer_jumping=True
+            n_parts=4, max_iter=4, checkpoint_dir=ck, checkpoint_every=1,
+            pointer_jumping=True,
         ).fit(Graph(df))
     except RuntimeError:
         pass  # kill point: not converged within 4 supersteps
 
     resumed = ConnectedComponents(
-        n_parts=4, checkpoint_dir=ck, resume=True, pointer_jumping=True
+        n_parts=4, checkpoint_dir=ck, resume=True, checkpoint_every=1,
+        pointer_jumping=True,
     ).fit(Graph(df))
+    assert resumed.n_iter_ > 1  # really resumed from a mid-run checkpoint
     got = resumed.components_.to_pandas().sort_values("id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)

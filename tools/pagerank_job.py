@@ -51,10 +51,14 @@ def main(argv=None) -> int:
     if not ray.is_initialized():
         # under `ray job submit` RAY_ADDRESS points at the cluster; the
         # standalone path starts a local instance
+        address = os.environ.get("RAY_ADDRESS", "local")
         kw = {"include_dashboard": False, "logging_level": "ERROR"}
-        if args.num_cpus:
+        if args.num_cpus and address == "local":
+            # num_cpus is only legal when STARTING an instance —
+            # ray.init(address=<cluster>, num_cpus=...) raises; under a
+            # real cluster the flag is ignored as documented
             kw["num_cpus"] = args.num_cpus
-        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), **kw)
+        ray.init(address=address, **kw)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
