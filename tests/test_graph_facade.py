@@ -188,3 +188,69 @@ def test_moebius_html_standalone(ray_session, tmp_path):
     # self-contained: no external resource loads
     assert "http://" not in html and "https://" not in html
     assert "src=" not in html.split("<script")[0]
+
+
+def test_moebius_html_js_headless(ray_session, tmp_path):
+    """Run the embedded force-layout JS under node with a DOM stub: all
+    node positions finite and in-bounds after the frame loop, draw calls
+    issued, hover handler callable. Skipped when node is absent."""
+    import re
+    import shutil
+    import subprocess
+
+    import pytest as _pytest
+
+    node = shutil.which("node")
+    if node is None:
+        _pytest.skip("node not available")
+    from mercury_graph_ray.pipelines.viz import _MOEBIUS_HTML, moebius_json
+
+    edges, _ = toy_social()
+    g = Graph(edges, keys={"src": "Person_A", "dst": "Person_B", "weight": "Duration"})
+    payload = json.dumps(moebius_json(g))
+    js = re.findall(r"<script>(.*?)</script>", _MOEBIUS_HTML, re.S)[0]
+    harness = (
+        "const calls = [];\n"
+        "const ctxStub = new Proxy({}, { get: (t, k) => (k === 'canvas' ? null"
+        " : (...a) => { calls.push(String(k)); }), set: () => true });\n"
+        "const elements = {\n"
+        f"  'graph-data': {{ textContent: {json.dumps(payload)} }},\n"
+        "  'cv': { getContext: () => ctxStub, width: 0, height: 0,\n"
+        "          addEventListener: (ev, fn) => { elements._mouse = fn; } },\n"
+        "  'tip': { style: {}, textContent: '' },\n"
+        "};\n"
+        "global.document = { getElementById: (id) => elements[id] };\n"
+        "global.window = { innerWidth: 800, innerHeight: 600 };\n"
+        "let frames = 0;\n"
+        "global.requestAnimationFrame = (fn) => { if (++frames < 350) fn(); };\n"
+        + js
+        + "\nfor (let i = 0; i < N; i++) {\n"
+        "  if (!isFinite(px[i]) || !isFinite(py[i])) throw new Error('non-finite');\n"
+        "  if (px[i] < 0 || px[i] > 800 || py[i] < 0 || py[i] > 600) throw new Error('oob');\n"
+        "}\n"
+        "if (!calls.includes('arc') || !calls.includes('stroke')) throw new Error('no draws');\n"
+        "elements._mouse({ clientX: px[0], clientY: py[0] });\n"
+        "console.log('OK ' + frames);\n"
+    )
+    f = tmp_path / "moebius_headless.js"
+    f.write_text(harness)
+    r = subprocess.run([node, str(f)], capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert r.stdout.startswith("OK")
+
+
+def test_driver_entry_smoke(ray_session):
+    """The driver contract's entry() runs and yields converged PageRank
+    rows with a stable schema on sf0.001 (what the driver smoke-checks)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_ray_entry_smoke", "/root/repo/__ray_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.entry()
+    df = out if hasattr(out, "columns") else out.to_pandas()
+    assert len(df) > 0
+    assert {"id", "rank"} <= set(df.columns)
+    assert abs(df["rank"].sum() - 1.0) < 1e-6
