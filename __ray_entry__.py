@@ -173,16 +173,108 @@ def _pagerank_oracle(iters: int = 20, alpha: float = 0.85) -> str:
     """
 
 
+def _minhash_oracle(
+    num_perm: int = 128, bands: int = 32, threshold: float = 0.5, seed: int = 42
+) -> str:
+    """Exact MinHash-LSH oracle (stages/dedup.minhash_lsh_pairs semantics).
+
+    Recomputes the whole pipeline in DuckDB: the character-shingle hash
+    (wrapping-uint64 polynomial + splitmix64, via HUGEINT mulmod — the
+    64-bit multiply-wrap is emulated in 32-bit halves), the permutation
+    family EXACTLY as numpy evaluates it (``a*h + b`` WRAPS mod 2^64
+    before the Mersenne mod — uint64 overflow is part of the pinned hash
+    family), banding by equality of the 4-row signature slices, and the
+    >= threshold estimated-Jaccard verify. est_jaccard values are exact
+    dyadic rationals (k/num_perm), so the float hash matches bit-for-bit.
+    No exact-dup pre-collapse is needed: identical texts have identical
+    signatures, so the collapsed+expanded Ray output equals the direct
+    all-docs computation."""
+    from mercury_graph_ray.stages.dedup import _perm_params
+
+    m64, m32, mers = 1 << 64, 1 << 32, (1 << 61) - 1
+
+    def mulmod(x: str, c: int) -> str:
+        # (x * c) mod 2^64 for x < 2^64 held in HUGEINT (split to dodge
+        # signed-int128 overflow: each half-product stays < 2^97)
+        return (
+            f"((({x}) % {m32}) * {c} + ((({x}) // {m32}) * {c})"
+            f" % {m32} * {m32}) % {m64}"
+        )
+
+    def xorshift(x: str, s: int) -> str:
+        return f"xor(({x}), ({x}) // {1 << s})"
+
+    p, c1, c2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    ords = [f"ord(substr(t, CAST(i AS BIGINT) + {j}, 1))" for j in range(5)]
+    h = f"CAST({ords[0]} AS HUGEINT)"
+    for o in ords[1:]:
+        h = f"(({mulmod(h, p)}) + {o}) % {m64}"
+    for s, c in ((30, c1), (27, c2)):
+        h = mulmod(xorshift(h, s), c)
+    shingle_hash = xorshift(h, 31)
+
+    a, b = _perm_params(num_perm, seed)
+    perm_vals = ",".join(f"({j},{int(a[j])},{int(b[j])})" for j in range(num_perm))
+    rpb = num_perm // bands
+    return f"""
+        WITH norm AS (
+            SELECT doc_id,
+                   CASE WHEN length(nt) < 5
+                        THEN nt || repeat(' ', 5 - length(nt)) ELSE nt END AS t
+            FROM (SELECT doc_id,
+                         lower(trim(regexp_replace(coalesce(text, ''),
+                                                   '\\s+', ' ', 'g'))) AS nt
+                  FROM documents)
+        ),
+        pos AS (
+            SELECT doc_id, t, unnest(generate_series(1, length(t) - 4)) AS i
+            FROM norm
+        ),
+        sh AS (SELECT DISTINCT doc_id, {shingle_hash} AS h FROM pos),
+        perms(j, pa, pb) AS (VALUES {perm_vals}),
+        sigv AS (
+            SELECT doc_id, j,
+                   min(((h % {mers} % {m32}) * pa
+                        + ((h % {mers} // {m32}) * pa) % {m32} * {m32}
+                        + pb) % {m64} % {mers}) AS v
+            FROM sh CROSS JOIN perms GROUP BY 1, 2
+        ),
+        bnd AS (
+            SELECT doc_id, j // {rpb} AS band,
+                   string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS slice
+            FROM sigv GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bnd x JOIN bnd y ON x.band = y.band AND x.slice = y.slice
+            WHERE x.doc_id < y.doc_id
+        ),
+        est AS (
+            SELECT c.a, c.b,
+                   CAST(sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS DOUBLE)
+                   / {num_perm} AS e
+            FROM cand c
+            JOIN sigv sa ON sa.doc_id = c.a
+            JOIN sigv sb ON sb.doc_id = c.b AND sb.j = sa.j
+            GROUP BY 1, 2
+        )
+        SELECT a, b, e AS est_jaccard FROM est
+        WHERE e >= {threshold} ORDER BY a, b
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query (column names aligned with the
     Ray pipelines). Seeded/hashed or convergence-gated iterative-float
-    algorithms (converged PageRank, Louvain, random walks,
-    MinHash/SimHash/ANN buckets) are omitted — parity is proven against
-    networkx in tests/ instead; the fixed-superstep PageRank variant IS
-    SQL-checked below."""
+    algorithms (converged PageRank, Louvain, random walks, hyperplane-LSH
+    embedding buckets, HLL sketches) are omitted — parity is proven
+    against networkx/exact recomputation in tests/ instead; the
+    fixed-superstep PageRank variant and the MinHash/SimHash families
+    (SQL-expressible hash functions by construction) ARE SQL-checked."""
     return {
         "label_propagation_supplier_customer": _lpa_oracle(10),
         "pagerank_fixed20_supplier_customer": _pagerank_oracle(20),
+        "minhash_dedup_pairs": _minhash_oracle(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)                          AS sum_qty,

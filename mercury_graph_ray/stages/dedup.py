@@ -432,7 +432,10 @@ def minhash_lsh_pairs(
             {
                 "a": pa.array(a[keep]),
                 "b": pa.array(b[keep]),
-                "est_jaccard": pa.array(np.round(est[keep], 6)),
+                # exact k/num_perm doubles (dyadic rationals, exactly
+                # representable): no rounding, so the SQL oracle's
+                # sum(..)/num_perm reproduces them bit-for-bit
+                "est_jaccard": pa.array(est[keep]),
             }
         )
 
