@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_total": tpch.triangle_total,
         "pagerank_supplier_customer": tpch.pagerank_supplier_customer,
         "pagerank_fixed20_supplier_customer": tpch.pagerank_fixed20_supplier_customer,
+        "hits_supplier_customer": tpch.hits_supplier_customer,
         "connected_components_supplier_customer": tpch.connected_components_supplier_customer,
         "bfs_hops_supplier_s1": tpch.bfs_hops_supplier_s1,
         "closeness_landmarks_suppliers": tpch.closeness_landmarks_suppliers,
@@ -173,6 +174,57 @@ def _pagerank_oracle(iters: int = 20, alpha: float = 0.85) -> str:
     """
 
 
+def _hits_oracle(iters: int = 20) -> str:
+    """HITS unrolled ``iters`` iterations with the frozen algos/hits.py
+    semantics: hub0 = 1/N, per iteration authority = in-weighted hub sum
+    then L1-normalize, hub = out-weighted authority sum then L1-normalize
+    (scale 1.0 if the mass is non-positive, matching the Ray guard)."""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""ar{k} AS MATERIALIZED (
+                SELECT i.id, COALESCE(s.x, 0.0) AS val
+                FROM ids i LEFT JOIN (
+                    SELECT e.dst AS id, sum(h.val * e.weight) AS x
+                    FROM e JOIN h{k - 1} h ON h.id = e.src GROUP BY 1
+                ) s ON s.id = i.id
+            ),
+            a{k} AS MATERIALIZED (
+                SELECT id, val / (CASE WHEN (SELECT sum(val) FROM ar{k}) > 0
+                                  THEN (SELECT sum(val) FROM ar{k})
+                                  ELSE 1.0 END) AS val
+                FROM ar{k}
+            ),
+            hr{k} AS MATERIALIZED (
+                SELECT i.id, COALESCE(s.x, 0.0) AS val
+                FROM ids i LEFT JOIN (
+                    SELECT e.src AS id, sum(a.val * e.weight) AS x
+                    FROM e JOIN a{k} a ON a.id = e.dst GROUP BY 1
+                ) s ON s.id = i.id
+            ),
+            h{k} AS MATERIALIZED (
+                SELECT id, val / (CASE WHEN (SELECT sum(val) FROM hr{k}) > 0
+                                  THEN (SELECT sum(val) FROM hr{k})
+                                  ELSE 1.0 END) AS val
+                FROM hr{k}
+            )"""
+        )
+    return f"""
+        WITH e AS (
+            SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst,
+                   CAST(count(*) AS DOUBLE) AS weight
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        ),
+        ids AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ids),
+        h0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS val FROM ids),
+        {",".join(steps)}
+        SELECT a.id, round(a.val, 9) AS authority, round(h.val, 9) AS hub
+        FROM a{iters} a JOIN h{iters} h ON h.id = a.id ORDER BY a.id
+    """
+
+
 def _minhash_oracle(
     num_perm: int = 128, bands: int = 32, threshold: float = 0.5, seed: int = 42
 ) -> str:
@@ -274,6 +326,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "label_propagation_supplier_customer": _lpa_oracle(10),
         "pagerank_fixed20_supplier_customer": _pagerank_oracle(20),
+        "hits_supplier_customer": _hits_oracle(20),
         "minhash_dedup_pairs": _minhash_oracle(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -374,6 +374,24 @@ def pagerank_fixed20_supplier_customer(sf_dir: str):
     return df.sort_values("id").reset_index(drop=True)
 
 
+def hits_supplier_customer(sf_dir: str):
+    """HITS hubs/authorities at exactly 20 iterations on the directed
+    supplier→customer graph — SQL-checkable like the fixed-superstep
+    PageRank: the frozen L1-normalized semantics (algos/hits.py) are a
+    pure deterministic dataflow a 20-step DuckDB unroll reproduces."""
+    from mercury_graph_ray.algos.hits import Hits
+    from mercury_graph_ray.graph import Graph
+    from mercury_graph_ray.pipelines.training_data import _round_half_away
+
+    h = Hits(max_iter=20, n_parts=8, payload_dtype="float64").fit(
+        Graph(supplier_customer_edges(sf_dir).materialize())
+    )
+    df = h.hits_.to_pandas()
+    df["authority"] = _round_half_away(df["authority"], 9)
+    df["hub"] = _round_half_away(df["hub"], 9)
+    return df.sort_values("id").reset_index(drop=True)
+
+
 def bfs_hops_supplier_s1(sf_dir: str):
     """Hop distances from supplier 's1' over the undirected
     supplier-customer graph (algos/bfs.BfsDistances on the BSP engine);

@@ -79,3 +79,27 @@ def oracle_lpa(edge_df, weighted=True, max_iter=30):
             return new, True
         labels = new
     return labels, False
+
+
+def oracle_hits(edge_df, max_iter=20):
+    """Dense-numpy HITS with the frozen algos/hits.py semantics:
+    hub0 = 1/N, authority = W^T hub then L1-normalize, hub = W authority
+    then L1-normalize, exactly max_iter iterations."""
+    import numpy as np
+
+    nodes = sorted(set(edge_df["src"]) | set(edge_df["dst"]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for s, d, w in zip(edge_df["src"], edge_df["dst"], edge_df["weight"]):
+        W[idx[s], idx[d]] += w
+    hub = np.full(n, 1.0 / n)
+    auth = np.zeros(n)
+    for _ in range(max_iter):
+        auth = W.T @ hub
+        s = auth.sum()
+        auth = auth / (s if s > 0 else 1.0)
+        hub = W @ auth
+        s = hub.sum()
+        hub = hub / (s if s > 0 else 1.0)
+    return {v: (auth[idx[v]], hub[idx[v]]) for v in nodes}

@@ -11,7 +11,13 @@ from mercury_graph_ray.algos.pagerank import PageRank
 from mercury_graph_ray.algos.triangles import TriangleCount
 from mercury_graph_ray.graph import Graph
 
-from tests.oracles import oracle_components, oracle_lpa, oracle_pagerank, oracle_triangles
+from tests.oracles import (
+    oracle_components,
+    oracle_hits,
+    oracle_lpa,
+    oracle_pagerank,
+    oracle_triangles,
+)
 
 
 def toy_edges():
@@ -381,3 +387,46 @@ def test_cc_pointer_jumping_resume(ray_session, tmp_path):
     assert resumed.n_iter_ > 1  # really resumed from a mid-run checkpoint
     got = resumed.components_.to_pandas().sort_values("id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_hits_toy_f64(ray_session):
+    # float64 payloads: the dense-numpy oracle must match ~exactly
+    # (same IEEE ops modulo partition-partial summation order)
+    from mercury_graph_ray.algos.hits import Hits
+
+    df = toy_edges()
+    h = Hits(max_iter=20, n_parts=4, payload_dtype="float64").fit(Graph(df))
+    got = h.hits_.to_pandas().set_index("id")
+    want = oracle_hits(df, max_iter=20)
+    assert set(got.index) == set(want)
+    for k, (a, hb) in want.items():
+        assert abs(got.loc[k, "authority"] - a) < 1e-12
+        assert abs(got.loc[k, "hub"] - hb) < 1e-12
+    # L1 invariants: both columns normalized
+    assert abs(got["authority"].sum() - 1.0) < 1e-9
+    assert abs(got["hub"].sum() - 1.0) < 1e-9
+
+
+def test_hits_parallelism_invariance(ray_session):
+    from mercury_graph_ray.algos.hits import Hits
+
+    df = toy_edges()
+    a = Hits(max_iter=8, n_parts=2, payload_dtype="float64").fit(Graph(df))
+    b = Hits(max_iter=8, n_parts=7, payload_dtype="float64").fit(Graph(df))
+    pa = a.hits_.to_pandas().set_index("id").sort_index()
+    pb = b.hits_.to_pandas().set_index("id").sort_index()
+    assert np.allclose(pa["authority"], pb["authority"], atol=1e-12)
+    assert np.allclose(pa["hub"], pb["hub"], atol=1e-12)
+
+
+def test_hits_default_f32_close(ray_session):
+    # default float32 exchange stays within f32 drift of the oracle
+    from mercury_graph_ray.algos.hits import Hits
+
+    df = toy_edges()
+    h = Hits(max_iter=20, n_parts=3).fit(Graph(df))
+    got = h.hits_.to_pandas().set_index("id")
+    want = oracle_hits(df, max_iter=20)
+    for k, (a, hb) in want.items():
+        assert abs(got.loc[k, "authority"] - a) < 1e-5
+        assert abs(got.loc[k, "hub"] - hb) < 1e-5
