@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_supplier_customer": tpch.pagerank_supplier_customer,
         "pagerank_fixed20_supplier_customer": tpch.pagerank_fixed20_supplier_customer,
         "hits_supplier_customer": tpch.hits_supplier_customer,
+        "ppr_fixed20_supplier_seeds": tpch.ppr_fixed20_supplier_seeds,
         "connected_components_supplier_customer": tpch.connected_components_supplier_customer,
         "bfs_hops_supplier_s1": tpch.bfs_hops_supplier_s1,
         "closeness_landmarks_suppliers": tpch.closeness_landmarks_suppliers,
@@ -168,6 +169,52 @@ def _pagerank_oracle(iters: int = 20, alpha: float = 0.85) -> str:
         ids AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
         nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ids),
         wout AS (SELECT src, sum(weight) AS w_out FROM e GROUP BY 1),
+        r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS val FROM ids),
+        {",".join(steps)}
+        SELECT id, round(val, 9) AS rank FROM r{iters} ORDER BY id
+    """
+
+
+def _ppr_oracle(seeds: tuple, iters: int = 20, alpha: float = 0.85) -> str:
+    """Personalized PageRank unrolled ``iters`` steps (nx semantics with a
+    uniform-over-seed-set personalization dict: teleport AND dangling mass
+    follow p; x0 stays uniform 1/N)."""
+    seed_list = ", ".join(f"'{s}'" for s in sorted(set(seeds)))
+    k = float(len(set(seeds)))
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""r{i} AS MATERIALIZED (
+                SELECT i.id,
+                       (1 - {alpha}) * i.pv
+                       + {alpha} * (
+                           COALESCE(c.x, 0.0)
+                           + (SELECT sum(r.val) FROM r{i - 1} r
+                              WHERE r.id NOT IN (SELECT src FROM wout))
+                             * i.pv
+                       ) AS val
+                FROM pv i
+                LEFT JOIN (
+                    SELECT e.dst AS id, sum(r.val * e.weight / w.w_out) AS x
+                    FROM e
+                    JOIN r{i - 1} r ON r.id = e.src
+                    JOIN wout w ON w.src = e.src
+                    GROUP BY 1
+                ) c ON c.id = i.id
+            )"""
+        )
+    return f"""
+        WITH e AS (
+            SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst,
+                   CAST(count(*) AS DOUBLE) AS weight
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        ),
+        ids AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ids),
+        wout AS (SELECT src, sum(weight) AS w_out FROM e GROUP BY 1),
+        pv AS (SELECT id, CASE WHEN id IN ({seed_list})
+                          THEN 1.0 / {k} ELSE 0.0 END AS pv FROM ids),
         r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS val FROM ids),
         {",".join(steps)}
         SELECT id, round(val, 9) AS rank FROM r{iters} ORDER BY id
@@ -327,6 +374,7 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation_supplier_customer": _lpa_oracle(10),
         "pagerank_fixed20_supplier_customer": _pagerank_oracle(20),
         "hits_supplier_customer": _hits_oracle(20),
+        "ppr_fixed20_supplier_seeds": _ppr_oracle(("s1", "s2", "s3"), 20),
         "minhash_dedup_pairs": _minhash_oracle(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

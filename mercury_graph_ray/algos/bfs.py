@@ -119,25 +119,10 @@ class BfsDistances(BaseClass):
             g, symmetrize=self.undirected, n_parts=self.n_parts, workdir=self.workdir
         )
         # source keys -> vids via the distributed mapping (tiny filter)
-        import pyarrow.compute as pc
+        from mercury_graph_ray.algos.common import keys_to_vids
 
         skeys = [str(s) for s in self.sources]
-
-        def _rows(t: pa.Table) -> pa.Table:
-            ids = pc.cast(t["id"], pa.string())
-            return t.filter(pc.is_in(ids, value_set=pa.array(sorted(set(skeys)))))
-
-        m = vd.mapping.map_batches(_rows, batch_format="pyarrow").to_pandas()
-        # an all-empty filter result loses its schema in this Ray release
-        key2vid = (
-            dict(zip(m["id"].astype(str), m["vid"].astype(np.int64)))
-            if "id" in m.columns
-            else {}
-        )
-        missing = [s for s in skeys if s not in key2vid]
-        if missing:
-            raise ValueError(f"source ids not in graph: {missing}")
-        vids = np.array([key2vid[s] for s in skeys], np.int64)
+        vids = keys_to_vids(vd, skeys)
 
         engine = BspEngine(gas, _BfsProgram(vids, weighted=self.weighted))
         it = 0

@@ -49,3 +49,30 @@ def prepare(g, *, symmetrize: bool = False, n_parts: int | None = None, workdir:
     gas = GasGraph.build(enc, vd.n, n_parts, workdir)
     g._cache[key] = (vd, gas)
     return vd, gas
+
+
+def keys_to_vids(vd, keys):
+    """Original vertex keys -> internal dense vids via a distributed
+    is_in filter on the dictionary mapping (never collects the mapping:
+    the filter result is |keys|-sized). Raises on unknown keys."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    skeys = [str(k) for k in keys]
+
+    def _rows(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["id"], pa.string())
+        return t.filter(pc.is_in(ids, value_set=pa.array(sorted(set(skeys)))))
+
+    m = vd.mapping.map_batches(_rows, batch_format="pyarrow").to_pandas()
+    # an all-empty filter result loses its schema in this Ray release
+    key2vid = (
+        dict(zip(m["id"].astype(str), m["vid"].astype(np.int64)))
+        if "id" in m.columns
+        else {}
+    )
+    missing = [s for s in skeys if s not in key2vid]
+    if missing:
+        raise ValueError(f"ids not in graph: {missing}")
+    return np.array([key2vid[s] for s in skeys], np.int64)

@@ -51,10 +51,14 @@ class _PageRankProgram(VertexProgram):
 
     state_columns = ("rank",)
 
-    def __init__(self, n: int, alpha: float, payload_dtype=np.float32):
+    def __init__(self, n: int, alpha: float, payload_dtype=np.float32, seed_vids=None):
         self.n = n
         self.alpha = alpha
         self.payload_dtype = np.dtype(payload_dtype)
+        # personalized teleport (nx semantics): p_i = 1/|S| on the seed
+        # set, 0 elsewhere; teleport AND dangling mass both follow p.
+        # None -> uniform p = 1/N (classic PageRank, the fast path).
+        self.seed_vids = None if seed_vids is None else np.asarray(seed_vids, np.int64)
 
     def prepare(self, csr):
         return dest_partition_slices(csr)
@@ -73,7 +77,15 @@ class _PageRankProgram(VertexProgram):
         return li.astype(np.int64, copy=False)
 
     def init(self, csr, cache) -> dict:
-        return {"rank": np.full(csr.n_local, 1.0 / self.n, np.float64)}
+        state = {"rank": np.full(csr.n_local, 1.0 / self.n, np.float64)}
+        if self.seed_vids is not None:
+            # local slice of the teleport vector: vid -> (vid % P) owner,
+            # vid // P local row (the engine's static placement rule)
+            p = np.zeros(csr.n_local, np.float64)
+            mine = self.seed_vids[self.seed_vids % csr.n_parts == csr.part]
+            p[mine // csr.n_parts] = 1.0 / len(self.seed_vids)
+            state["__p"] = p
+        return state
 
     def scatter(self, csr, state, cache) -> list:
         bounds, local = cache
@@ -97,7 +109,11 @@ class _PageRankProgram(VertexProgram):
             if len(c)
             else np.zeros(n_local, np.float64)
         )
-        new = (1.0 - self.alpha) / self.n + self.alpha * (acc + d_total / self.n)
+        p = state.get("__p")
+        if p is None:
+            new = (1.0 - self.alpha) / self.n + self.alpha * (acc + d_total / self.n)
+        else:
+            new = (1.0 - self.alpha) * p + self.alpha * (acc + d_total * p)
         resid = float(np.abs(new - state["rank"]).sum())
         state["rank"] = new
         return {"resid": resid}
@@ -121,6 +137,7 @@ class PageRank(BaseClass):
         actor_num_cpus: float | None = None,
         strict: bool = True,
         payload_dtype: str = "float32",
+        personalization: list | None = None,
     ):
         self.alpha = alpha
         self.tol = tol
@@ -139,15 +156,31 @@ class PageRank(BaseClass):
         # consumers that need ~1e-9 agreement with an exact-arithmetic
         # oracle (the pagerank_fixed20 DuckDB unroll rounds to 9 decimals).
         self.payload_dtype = payload_dtype
+        # personalized PageRank: original vertex keys forming the teleport
+        # set (uniform over the DISTINCT keys — nx's normalized
+        # personalization dict with equal weights). Teleport and dangling
+        # mass both go to the set; x0 stays uniform 1/N (nx semantics).
+        self.personalization = personalization
 
     def fit(self, g) -> "PageRank":
         from mercury_graph_ray.state.checkpoint import CheckpointManager
 
         vd, gas = prepare(g, symmetrize=not g.directed, n_parts=self.n_parts, workdir=self.workdir)
         n = gas.n
+        seed_vids = None
+        seed_keys = None
+        if self.personalization is not None:
+            from mercury_graph_ray.algos.common import keys_to_vids
+
+            seed_keys = sorted({str(k) for k in self.personalization})
+            if not seed_keys:
+                raise ValueError("personalization must name at least one vertex")
+            seed_vids = keys_to_vids(vd, seed_keys)
         engine = BspEngine(
             gas,
-            _PageRankProgram(n, self.alpha, payload_dtype=self.payload_dtype),
+            _PageRankProgram(
+                n, self.alpha, payload_dtype=self.payload_dtype, seed_vids=seed_vids
+            ),
             actor_num_cpus=self.actor_num_cpus,
         )
 
@@ -156,7 +189,13 @@ class PageRank(BaseClass):
             ckpt = CheckpointManager(
                 self.checkpoint_dir,
                 "pagerank",
-                fingerprint={"n": n, "p": gas.p, "alpha": self.alpha, "tol": self.tol},
+                fingerprint={
+                    "n": n,
+                    "p": gas.p,
+                    "alpha": self.alpha,
+                    "tol": self.tol,
+                    "seeds": seed_keys,
+                },
             )
 
         start_iter = 0

@@ -374,6 +374,30 @@ def pagerank_fixed20_supplier_customer(sf_dir: str):
     return df.sort_values("id").reset_index(drop=True)
 
 
+PPR_SEEDS = ("s1", "s2", "s3")
+
+
+def ppr_fixed20_supplier_seeds(sf_dir: str):
+    """Personalized PageRank (teleport + dangling mass to the seed set
+    {s1,s2,s3}, nx semantics) at exactly 20 supersteps — SQL-checkable
+    like the uniform fixed-20 variant via an unrolled DuckDB oracle."""
+    from mercury_graph_ray.algos.pagerank import PageRank
+    from mercury_graph_ray.graph import Graph
+    from mercury_graph_ray.pipelines.training_data import _round_half_away
+
+    pr = PageRank(
+        n_parts=8,
+        tol=0.0,
+        max_iter=20,
+        strict=False,
+        payload_dtype="float64",
+        personalization=list(PPR_SEEDS),
+    ).fit(Graph(supplier_customer_edges(sf_dir).materialize()))
+    df = pr.pagerank_.to_pandas()
+    df["rank"] = _round_half_away(df["rank"], 9)
+    return df.sort_values("id").reset_index(drop=True)
+
+
 def hits_supplier_customer(sf_dir: str):
     """HITS hubs/authorities at exactly 20 iterations on the directed
     supplier→customer graph — SQL-checkable like the fixed-superstep

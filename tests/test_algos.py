@@ -430,3 +430,29 @@ def test_hits_default_f32_close(ray_session):
     for k, (a, hb) in want.items():
         assert abs(got.loc[k, "authority"] - a) < 1e-5
         assert abs(got.loc[k, "hub"] - hb) < 1e-5
+
+
+def test_personalized_pagerank_nx_parity(ray_session):
+    # nx _pagerank_python with a uniform-over-seeds personalization dict
+    # (teleport + dangling both follow p) — converged parity at 1e-6
+    from networkx.algorithms.link_analysis.pagerank_alg import _pagerank_python
+
+    from tests.oracles import nx_digraph
+
+    df = toy_edges()
+    seeds = ["a", "x"]
+    pr = PageRank(n_parts=4, personalization=seeds, payload_dtype="float64").fit(Graph(df))
+    got = pr.pagerank_.to_pandas().set_index("id")["rank"].to_dict()
+    nxg = nx_digraph(df)
+    want = _pagerank_python(nxg, personalization={s: 1.0 for s in seeds})
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-6
+    # mass concentrates on/near the seeds; unreachable-from-seed vertices
+    # get 0 (z is 2 hops downstream of x so it keeps mass; f is reachable)
+    assert got["a"] > 0.1 and got["x"] > 0.1
+
+
+def test_personalized_pagerank_unknown_seed_raises(ray_session):
+    with pytest.raises(ValueError):
+        PageRank(personalization=["nope"]).fit(Graph(toy_edges()))
