@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "undirected_closure": tpch.undirected_closure,
         # graph algorithms (§2.9) — triangle total is SQL-checkable
         "triangle_total": tpch.triangle_total,
+        "clustering_coefficient_parts": tpch.clustering_coefficient_parts,
         "pagerank_supplier_customer": tpch.pagerank_supplier_customer,
         "pagerank_fixed20_supplier_customer": tpch.pagerank_fixed20_supplier_customer,
         "hits_supplier_customer": tpch.hits_supplier_customer,
@@ -462,6 +463,44 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs e1
             JOIN pairs e2 ON e1.b = e2.a
             JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "clustering_coefficient_parts": """
+            WITH pairs AS (
+                SELECT a.l_partkey AS a, b.l_partkey AS b
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+            ),
+            ids AS (SELECT a AS id FROM pairs UNION SELECT b FROM pairs),
+            deg AS (
+                SELECT id, count(*) AS degree FROM (
+                    SELECT a AS id FROM pairs UNION ALL SELECT b FROM pairs
+                ) GROUP BY 1
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM pairs e1
+                JOIN pairs e2 ON e1.b = e2.a
+                JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            pt AS (
+                SELECT id, count(*) AS triangles FROM (
+                    SELECT x AS id FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri
+                ) GROUP BY 1
+            )
+            SELECT i.id,
+                   COALESCE(pt.triangles, 0) AS triangles,
+                   d.degree,
+                   round(CASE WHEN d.degree >= 2
+                         THEN 2.0 * COALESCE(pt.triangles, 0)
+                              / (CAST(d.degree AS DOUBLE) * (d.degree - 1.0))
+                         ELSE 0.0 END, 9) AS clustering
+            FROM ids i
+            JOIN deg d ON d.id = i.id
+            LEFT JOIN pt ON pt.id = i.id
+            ORDER BY i.id
         """,
         "connected_components_supplier_customer": """
             WITH RECURSIVE

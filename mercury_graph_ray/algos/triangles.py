@@ -80,7 +80,9 @@ def _wedges_in_group(group: dict) -> dict:
 
 class TriangleCount(BaseClass):
     """``TriangleCount().fit(g)`` sets ``triangles_`` (Dataset of id,
-    triangles), ``total_`` (global triangle count)."""
+    triangles), ``total_`` (global triangle count) and ``clustering_``
+    (Dataset of id, triangles, degree, clustering — the nx.clustering
+    local coefficient over the simple undirected graph)."""
 
     def __init__(self, n_parts: int | None = None):
         self.n_parts = n_parts or DEFAULT_N_PARTS
@@ -202,7 +204,49 @@ class TriangleCount(BaseClass):
             return pa.table({"id": pa.array(ids), "t": pa.array(np.zeros(len(ids), np.int64))})
 
         zeros = vd.mapping.select_columns(["vid"]).map_batches(_zero_rows, batch_format="pyarrow")
-        counts = credits.union(zeros).groupby("id").aggregate(Sum("t", alias_name="triangles"))
+        # materialize once: total_, triangles_ and clustering_ all consume
+        # this O(V)-row table — without the barrier each consumer re-runs
+        # the wedge join
+        counts = (
+            credits.union(zeros)
+            .groupby("id")
+            .aggregate(Sum("t", alias_name="triangles"))
+            .materialize()
+        )
         self.total_ = counts.sum("triangles") // 3
         self.triangles_ = vd.decode(counts, col="id")
+
+        # local clustering coefficient (nx.clustering on the simple
+        # undirected graph): c(v) = 2·tri / (deg·(deg-1)), 0 when deg < 2.
+        # One join of the two zero-filled O(V) tables.
+        def _zero_deg(t: pa.Table) -> pa.Table:
+            ids = t["vid"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"id": pa.array(ids), "deg": pa.array(np.zeros(len(ids), np.int64))})
+
+        zeros_deg = vd.mapping.select_columns(["vid"]).map_batches(
+            _zero_deg, batch_format="pyarrow"
+        )
+        deg_full = (
+            ensure_schema(degs, {"id": pa.int64(), "deg": pa.int64()})
+            .union(zeros_deg)
+            .groupby("id")
+            .aggregate(Sum("deg", alias_name="degree"))
+        )
+        j = hash_join(counts, deg_full, on=("id",), num_buckets=max(2, p))
+
+        def _coef(t: pa.Table) -> pa.Table:
+            tri_v = t["triangles"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+            d = t["degree"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = np.where(d >= 2, 2.0 * tri_v / (d * (d - 1.0)), 0.0)
+            return pa.table(
+                {
+                    "id": t["id"],
+                    "triangles": t["triangles"],
+                    "degree": t["degree"],
+                    "clustering": pa.array(c, pa.float64()),
+                }
+            )
+
+        self.clustering_ = vd.decode(j.map_batches(_coef, batch_format="pyarrow"), col="id")
         return self

@@ -342,6 +342,21 @@ def triangle_total(sf_dir: str):
     return pd.DataFrame({"total_triangles": [int(tc.total_)]})
 
 
+def clustering_coefficient_parts(sf_dir: str):
+    """Per-vertex local clustering coefficient on the part co-occurrence
+    graph (TriangleCount.clustering_): 2·tri/(deg·(deg-1)), 0 below
+    degree 2 — SQL-checkable (triangle corners + degree join)."""
+    from mercury_graph_ray.algos.triangles import TriangleCount
+    from mercury_graph_ray.graph import Graph
+    from mercury_graph_ray.pipelines.training_data import _round_half_away
+
+    edges = part_cooccurrence_edges(sf_dir).rename_columns({"a": "src", "b": "dst"})
+    tc = TriangleCount(n_parts=8).fit(Graph(edges))
+    df = tc.clustering_.to_pandas()
+    df["clustering"] = _round_half_away(df["clustering"], 9)
+    return df.sort_values("id").reset_index(drop=True)
+
+
 def pagerank_supplier_customer(sf_dir: str):
     """Converged PageRank on the supplier→customer graph (no SQL oracle —
     iterative; parity is covered by the networkx suite in tests/)."""

@@ -456,3 +456,20 @@ def test_personalized_pagerank_nx_parity(ray_session):
 def test_personalized_pagerank_unknown_seed_raises(ray_session):
     with pytest.raises(ValueError):
         PageRank(personalization=["nope"]).fit(Graph(toy_edges()))
+
+
+def test_clustering_coefficient_nx_parity(pages_graph):
+    import networkx as nx
+
+    from tests.oracles import nx_digraph
+
+    g, df = pages_graph
+    tc = TriangleCount(n_parts=8).fit(g)
+    got = tc.clustering_.to_pandas().set_index("id")
+    und = nx_digraph(df).to_undirected()
+    und.remove_edges_from(nx.selfloop_edges(und))
+    want = nx.clustering(und)
+    assert set(got.index) == set(want)
+    for k, v in want.items():
+        assert abs(got.loc[k, "clustering"] - v) < 1e-12
+        assert got.loc[k, "degree"] == und.degree(k)
