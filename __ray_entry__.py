@@ -47,6 +47,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph algorithms (§2.9) — triangle total is SQL-checkable
         "triangle_total": tpch.triangle_total,
         "clustering_coefficient_parts": tpch.clustering_coefficient_parts,
+        "assortativity_heavy_parts": tpch.assortativity_heavy_parts,
+        "linkpred_jaccard_heavy_parts": tpch.linkpred_jaccard_heavy_parts,
+        "kcore3_heavy_parts": tpch.kcore3_heavy_parts,
         "pagerank_supplier_customer": tpch.pagerank_supplier_customer,
         "pagerank_fixed20_supplier_customer": tpch.pagerank_fixed20_supplier_customer,
         "hits_supplier_customer": tpch.hits_supplier_customer,
@@ -363,6 +366,48 @@ def _minhash_oracle(
     """
 
 
+# heavy part co-occurrence graph: canonical (a < b) part pairs sharing an
+# order, both lineitems with l_quantity >= 45 (mirrors
+# tpch.part_cooccurrence_edges(min_quantity=45) — deg 1-11 at sf0.01, so
+# k-core / link-prediction behavior is nontrivial)
+_HEAVY_PAIRS = """
+            SELECT a.l_partkey AS a, b.l_partkey AS b
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            WHERE a.l_quantity >= 45 AND b.l_quantity >= 45
+            GROUP BY 1, 2
+"""
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 24) -> str:
+    """Fixed-k core by unrolled peeling: each step keeps the pairs whose
+    BOTH endpoints have degree >= k in the previous step's edge set. The
+    peel reaches its fixpoint in ~6 rounds at sf0.01 (the Ray query
+    asserts n_iter_ <= 20, so 24 unrolls is convergence with margin);
+    at the fixpoint the distinct endpoints ARE the k-core vertex set
+    (every endpoint has degree >= k by construction)."""
+    steps = [f"p0 AS MATERIALIZED ({_HEAVY_PAIRS})"]
+    for i in range(1, rounds + 1):
+        prev = f"p{i - 1}"
+        steps.append(
+            f"""p{i} AS MATERIALIZED (
+                SELECT a, b FROM {prev}
+                WHERE a IN (SELECT id FROM (SELECT a AS id FROM {prev}
+                                            UNION ALL SELECT b FROM {prev})
+                            GROUP BY 1 HAVING count(*) >= {k})
+                  AND b IN (SELECT id FROM (SELECT a AS id FROM {prev}
+                                            UNION ALL SELECT b FROM {prev})
+                            GROUP BY 1 HAVING count(*) >= {k})
+            )"""
+        )
+    return f"""
+        WITH {', '.join(steps)}
+        SELECT DISTINCT a AS id FROM (
+            SELECT a FROM p{rounds} UNION ALL SELECT b AS a FROM p{rounds}
+        ) ORDER BY 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query (column names aligned with the
     Ray pipelines). Seeded/hashed or convergence-gated iterative-float
@@ -502,6 +547,75 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN pt ON pt.id = i.id
             ORDER BY i.id
         """,
+        # Pearson degree assortativity over symmetrized edge ends of the
+        # heavy part graph. Moment sums are exact BIGINTs; the final
+        # expression uses the same CAST-to-double shape as
+        # algos/linkpred.DegreeAssortativity so the hash is bit-exact.
+        "assortativity_heavy_parts": f"""
+            WITH pairs AS ({_HEAVY_PAIRS}),
+            deg AS (
+                SELECT id, count(*) AS deg FROM (
+                    SELECT a AS id FROM pairs UNION ALL SELECT b FROM pairs
+                ) GROUP BY 1
+            ),
+            xy AS (
+                SELECT da.deg AS x, db.deg AS y
+                FROM pairs p
+                JOIN deg da ON da.id = p.a
+                JOIN deg db ON db.id = p.b
+            ),
+            m AS (
+                SELECT 2 * count(*) AS n,
+                       sum(x + y) AS sx,
+                       sum(x * x + y * y) AS sxx,
+                       2 * sum(x * y) AS sxy
+                FROM xy
+            )
+            SELECT round(
+                (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))),
+                9) AS assortativity
+            FROM m
+        """,
+        # top-20 non-adjacent heavy-part pairs by Jaccard coefficient
+        # (cn / (deg_a + deg_b - cn)); ties broken by (a, b) so the
+        # LIMIT boundary is deterministic on both sides. The ORDER BY
+        # uses the UNROUNDED double (identical exact small-int division
+        # on both sides); rounding applies to the output column only.
+        "linkpred_jaccard_heavy_parts": f"""
+            WITH pairs AS ({_HEAVY_PAIRS}),
+            sym AS (
+                SELECT a AS u, b AS v FROM pairs
+                UNION ALL
+                SELECT b AS u, a AS v FROM pairs
+            ),
+            deg AS (SELECT u AS id, count(*) AS deg FROM sym GROUP BY 1),
+            wed AS (
+                SELECT s1.v AS a, s2.v AS b, count(*) AS cn
+                FROM sym s1 JOIN sym s2
+                  ON s1.u = s2.u AND s1.v < s2.v
+                GROUP BY 1, 2
+            ),
+            nonadj AS (
+                SELECT w.a, w.b, w.cn
+                FROM wed w LEFT JOIN pairs p ON p.a = w.a AND p.b = w.b
+                WHERE p.a IS NULL
+            ),
+            scored AS (
+                SELECT n.a, n.b, n.cn,
+                       CAST(n.cn AS DOUBLE) / (da.deg + db.deg - n.cn) AS j
+                FROM nonadj n
+                JOIN deg da ON da.id = n.a
+                JOIN deg db ON db.id = n.b
+            )
+            SELECT a, b, cn, round(j, 9) AS jaccard
+            FROM scored ORDER BY j DESC, a, b LIMIT 20
+        """,
+        "kcore3_heavy_parts": _kcore_oracle(k=3, rounds=24),
         "connected_components_supplier_customer": """
             WITH RECURSIVE
             e0 AS (

@@ -51,6 +51,55 @@ def prepare(g, *, symmetrize: bool = False, n_parts: int | None = None, workdir:
     return vd, gas
 
 
+def simple_pairs(g, *, cache: bool = True):
+    """(VertexDict, canonical simple-pair Dataset, degree Dataset).
+
+    The encoded graph as a canonical (a < b) undirected simple edge
+    table — self-loops dropped, duplicate/reverse edges collapsed — plus
+    per-vertex simple degrees (id, deg; vertices absent from any pair
+    are absent, zero-fill is the caller's choice). The pair table is
+    materialized (every consumer re-joins it) and cached on the Graph
+    facade so TriangleCount / LinkPrediction / DegreeAssortativity /
+    KCore over the same Graph share one dedup shuffle.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    if cache and "simple_pairs" in g._cache:
+        return g._cache["simple_pairs"]
+    if "vertex_dict" not in g._cache:
+        g._cache["vertex_dict"] = VertexDict.from_edges(g.edges, nodes=explicit_nodes(g))
+    vd: VertexDict = g._cache["vertex_dict"]
+    from mercury_graph_ray.algos.triangles import _canonical_pairs
+
+    enc = vd.encode_edges(g.edges.select_columns(["src", "dst"]))
+    canon = (
+        enc.map_batches(_canonical_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+
+    def _endpoints(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"id": pa.array(np.concatenate([a, b]))})
+
+    degs = (
+        canon.map_batches(_endpoints, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Count(alias_name="deg"))
+        .materialize()
+    )
+    out = (vd, canon, degs)
+    if cache:
+        g._cache["simple_pairs"] = out
+    return out
+
+
 def keys_to_vids(vd, keys):
     """Original vertex keys -> internal dense vids via a distributed
     is_in filter on the dictionary mapping (never collects the mapping:

@@ -1,0 +1,178 @@
+"""k-core decomposition (fixed k) — distributed peeling on the BSP engine.
+
+Not in the reference (beyond-ref, SURVEY.md §2.11). The k-core is the
+maximal subgraph of the simple undirected graph in which every vertex has
+degree >= k (nx.k_core oracle). Peeling as a vertex program on the
+persistent partition actors (stages/bsp.py — the same executor PageRank /
+CC / LPA use, chosen over a Dataset join loop because each peel round is
+otherwise 3 shuffle jobs whose fixed launch cost dwarfs the kernel):
+
+- state per local vertex: remaining degree ``deg`` and a ``dead`` flag;
+  a vertex dies the round its degree drops below k.
+- superstep: every NEWLY dead vertex sends a decrement along each of its
+  edges. scatter pre-combines per unique destination with one dst-major
+  ``add.reduceat`` (the hub-splitting partial: a 10^9-degree hub receives
+  at most P partial counts), then ships only the NONZERO (local row,
+  count) pairs — payloads are proportional to the round's deaths, not to
+  E, so quiet late rounds cost almost nothing on the wire.
+- gather folds the decrements with one bincount, kills vertices that fell
+  below k, and returns the scalar death count; the driver loops until a
+  round kills nobody (then no announcements are pending and every
+  surviving endpoint has residual degree >= k — the k-core).
+
+Rounds are O(peel depth): the longest chain of cascading removals, small
+on real link graphs (a handful of sweeps); adversarial chains (a path
+graph peels one layer per round) are bounded by ``max_iter``.
+
+The graph is the SIMPLE undirected graph: ``algos.common.simple_pairs``
+(self-loops dropped, duplicate/reverse edges collapsed — shared/cached
+with TriangleCount / LinkPrediction over the same Graph), symmetrized in
+vid space into its own cached CSR (``gas_simple``).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+
+from mercury_graph_ray.base import BaseClass
+from mercury_graph_ray.algos.common import DEFAULT_N_PARTS, simple_pairs
+from mercury_graph_ray.stages.bsp import BspEngine, VertexProgram, dest_partition_slices
+
+
+def simple_gas(g, n_parts: int, workdir: str | None = None):
+    """GasGraph over the symmetrized SIMPLE graph (canonical pairs from
+    ``simple_pairs`` emitted in both directions, weight 1), cached on the
+    Graph facade so KCore runs over the same Graph share one CSR build."""
+    from mercury_graph_ray.stages.gas import GasGraph
+
+    key = ("gas_simple", n_parts)
+    if key in g._cache:
+        return g._cache[key]
+    vd, canon, _ = simple_pairs(g)
+
+    def _both_dirs(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+                "weight": pa.array(np.ones(2 * len(a), np.float64)),
+            }
+        )
+
+    enc = canon.map_batches(_both_dirs, batch_format="pyarrow")
+    if workdir is None:
+        workdir = tempfile.mkdtemp(prefix=f"gas_simple{n_parts}_", dir="/tmp")
+    gas = GasGraph.build(enc, vd.n, n_parts, workdir)
+    g._cache[key] = gas
+    return gas
+
+
+class _KCoreProgram(VertexProgram):
+    state_columns = ("deg", "dead")
+
+    def __init__(self, k: int):
+        self.k = k
+
+    def prepare(self, csr):
+        return dest_partition_slices(csr)
+
+    def init(self, csr, cache) -> dict:
+        deg = np.diff(csr.indptr).astype(np.int64)  # simple symmetric graph
+        newly = deg < self.k
+        return {"deg": deg, "dead": newly.copy(), "_newly": newly}
+
+    def scatter(self, csr, state, cache) -> list:
+        bounds, local = cache
+        p = csr.n_parts
+        newly = state["_newly"]
+        if csr.n_edges == 0 or not newly.any():
+            e = np.array([], np.int64)
+            return [(e, e) for _ in range(p)]
+        # per-unique-dst count of newly dead in-neighbors (dst-major
+        # reduceat), shipped sparsely: only destinations that lost an edge
+        counts = np.add.reduceat(
+            newly[csr.row_by_dst].astype(np.int64), csr.dst_seg_starts
+        )
+        out = []
+        for (a, b), loc in zip(bounds, local):
+            s = counts[a:b]
+            nz = np.flatnonzero(s)
+            out.append((loc[nz], s[nz]))
+        return out
+
+    def gather_apply(self, csr, state, payloads, cache, recv) -> dict:
+        deg, dead = state["deg"], state["dead"]
+        idxs = [pl[0] for pl in payloads if len(pl[0])]
+        if idxs:
+            idx = np.concatenate(idxs)
+            cnt = np.concatenate([pl[1] for pl in payloads if len(pl[0])])
+            deg = deg - np.bincount(idx, weights=cnt, minlength=len(deg)).astype(np.int64)
+        newly = (~dead) & (deg < self.k)
+        state["deg"] = deg
+        state["dead"] = dead | newly
+        state["_newly"] = newly
+        return {"n_died": int(newly.sum())}
+
+
+class KCore(BaseClass):
+    """``KCore(k).fit(g)`` sets ``core_`` (Dataset of original vertex keys
+    in the k-core, column ``id``) and ``n_iter_`` (peel rounds run —
+    the last round is the empty one that certifies the fixpoint)."""
+
+    def __init__(
+        self,
+        k: int,
+        n_parts: int | None = None,
+        max_iter: int = 10_000,
+        workdir: str | None = None,
+        actor_num_cpus: float | None = None,
+    ):
+        if k < 1:
+            raise ValueError("k must be >= 1 (the 0-core is the whole vertex set)")
+        self.k = k
+        self.n_parts = n_parts or DEFAULT_N_PARTS
+        self.max_iter = max_iter
+        self.workdir = workdir
+        self.actor_num_cpus = actor_num_cpus
+
+    def fit(self, g) -> "KCore":
+        import pyarrow.compute as pc
+
+        from mercury_graph_ray.stages.util import ensure_schema
+
+        vd, _, _ = simple_pairs(g)
+        gas = simple_gas(g, self.n_parts, self.workdir)
+        engine = BspEngine(
+            gas, _KCoreProgram(self.k), actor_num_cpus=self.actor_num_cpus
+        )
+        it = 0
+        converged = False
+        while it < self.max_iter:
+            it += 1
+            if sum(m["n_died"] for m in engine.superstep()) == 0:
+                converged = True
+                break
+        state = engine.state_dataset()
+        engine.shutdown()
+        if not converged:
+            raise RuntimeError(f"k-core peel did not finish in {self.max_iter} rounds")
+        self.n_iter_ = it
+
+        def _alive(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["dead"], False)).select(["id"])
+
+        alive = ensure_schema(
+            state.map_batches(_alive, batch_format="pyarrow"), {"id": pa.uint64()}
+        )
+        # pin the decoded schema: an all-empty core (k above the graph's
+        # degeneracy) otherwise reports schema() None (Ray empty-block
+        # quirk) and loses the id column in to_pandas
+        sch = vd.mapping.schema()
+        key_type = dict(zip(sch.names, sch.types))["id"]
+        self.core_ = ensure_schema(vd.decode(alive, col="id"), {"id": key_type})
+        return self

@@ -1,0 +1,266 @@
+"""Neighborhood-based link prediction and degree assortativity.
+
+Not in the reference (beyond-ref, SURVEY.md §2.11): the standard
+common-neighbor family over the simple undirected graph —
+``common_neighbors``, ``jaccard`` (nx.jaccard_coefficient) and
+``adamic_adar`` (nx.adamic_adar_index) — scored for every non-adjacent
+candidate pair that shares at least one neighbor, plus the Pearson
+degree-assortativity coefficient (nx.degree_assortativity_coefficient).
+
+Dataflow (all stages bucketed, nothing driver-side):
+1. canonical simple pairs + degrees via ``algos.common.simple_pairs``
+   (shared/cached with TriangleCount over the same Graph);
+2. symmetrize and attach the center degree with ONE hash join, then
+   enumerate each center's ordered neighbor pairs per ``u % p``
+   partition with the grouped-arange kernel (no per-vertex Python) —
+   every (a, b, 1/ln(deg_center)) wedge row;
+3. one groupby((a, b)) sums wedge count (= |Γa ∩ Γb|) and the
+   Adamic-Adar weight;
+4. existing edges drop out via a left join on a marker column
+   (anti-join); endpoint degrees attach via two more hash joins;
+   jaccard = cn / (deg_a + deg_b − cn) since |Γa ∪ Γb| = da + db − cn
+   on a simple graph.
+
+Scale note: exact common-neighbor enumeration is O(Σ deg²) wedge rows —
+the unavoidable cost of the exact scores (the SQL oracle pays the same
+double self-join). ``max_degree`` caps hub centers (the standard
+approximation: a center with deg > cap contributes no wedges), which
+bounds the explosion at power-law hubs; the driver-contract query runs
+exact (cap None).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from mercury_graph_ray.base import BaseClass
+from mercury_graph_ray.algos.common import DEFAULT_N_PARTS, simple_pairs
+
+_METRICS = ("common_neighbors", "jaccard", "adamic_adar")
+
+
+def _neighbor_pairs_in_group(group: dict) -> dict:
+    """All ordered neighbor pairs (a < b) per center, with the center's
+    Adamic-Adar weight 1/ln(deg_center) carried along. Vectorized
+    grouped-arange (same shape as triangles._wedges_in_group)."""
+    u = np.asarray(group["u"], np.int64)
+    v = np.asarray(group["v"], np.int64)
+    w = np.asarray(group["w"], np.float64)
+    order = np.lexsort((v, u))
+    u, v, w = u[order], v[order], w[order]
+    starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+    sizes = np.diff(np.concatenate([starts, [len(u)]]))
+    pos = np.arange(len(u)) - np.repeat(starts, sizes)
+    left_counts = np.repeat(sizes, sizes) - 1 - pos
+    total = int(left_counts.sum())
+    if total == 0:
+        e = np.array([], np.int64)
+        return {"a": e, "b": e, "w": np.array([], np.float64)}
+    left = np.repeat(v, left_counts)
+    run_starts = np.cumsum(left_counts) - left_counts
+    offset_within = np.arange(total) - np.repeat(run_starts, left_counts)
+    right = v[np.repeat(np.arange(len(v)) + 1, left_counts) + offset_within]
+    return {"a": left, "b": right, "w": np.repeat(w, left_counts)}
+
+
+class LinkPrediction(BaseClass):
+    """``LinkPrediction().fit(g)`` sets ``scores_``: a Dataset of every
+    non-adjacent pair with ≥1 common neighbor — columns (a, b, cn,
+    adamic_adar, deg_a, deg_b, jaccard), ids decoded to original keys.
+    ``top(k, metric)`` returns the k best pairs as pandas, ordered by
+    (score desc, a, b)."""
+
+    def __init__(self, n_parts: int | None = None, max_degree: int | None = None):
+        self.n_parts = n_parts or DEFAULT_N_PARTS
+        self.max_degree = max_degree
+
+    def fit(self, g) -> "LinkPrediction":
+        from ray.data.aggregate import Sum
+
+        from mercury_graph_ray.stages.join import hash_join
+        from mercury_graph_ray.stages.util import ensure_schema, rename_cols
+
+        p = self.n_parts
+        cap = self.max_degree
+        vd, canon, degs = simple_pairs(g)
+        nb = max(2, p)
+
+        # symmetrize: each canonical pair contributes both directions
+        def _sym(t: pa.Table) -> pa.Table:
+            a = t["a"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t["b"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {"u": pa.array(np.concatenate([a, b])), "v": pa.array(np.concatenate([b, a]))}
+            )
+
+        sym = canon.map_batches(_sym, batch_format="pyarrow")
+        du = ensure_schema(
+            rename_cols(degs, {"id": "u", "deg": "deg_u"}),
+            {"u": pa.int64(), "deg_u": pa.int64()},
+        )
+        adj = hash_join(sym, du, on=("u",), num_buckets=nb)
+
+        def _route(t: pa.Table) -> pa.Table:
+            u = t["u"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            v = t["v"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t["deg_u"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+            if cap is not None:
+                keep = d <= cap
+                u, v, d = u[keep], v[keep], d[keep]
+            # deg_u >= 2 whenever a pair is emitted, so ln(deg_u) > 0
+            with np.errstate(divide="ignore"):
+                w = 1.0 / np.log(d)
+            return pa.table(
+                {
+                    "u": pa.array(u),
+                    "v": pa.array(v),
+                    "w": pa.array(w, pa.float64()),
+                    "part": pa.array(u % p),
+                }
+            )
+
+        routed = adj.map_batches(_route, batch_format="pyarrow")
+        wedges = ensure_schema(
+            routed.groupby("part").map_groups(_neighbor_pairs_in_group, batch_format="numpy"),
+            {"a": pa.int64(), "b": pa.int64(), "w": pa.float64()},
+        )
+
+        def _one(t: pa.Table) -> pa.Table:
+            return t.append_column("cn", pa.array(np.ones(t.num_rows, np.int64)))
+
+        cands = (
+            wedges.map_batches(_one, batch_format="pyarrow")
+            .groupby(["a", "b"])
+            .aggregate(Sum("cn", alias_name="cn"), Sum("w", alias_name="adamic_adar"))
+        )
+        cands = ensure_schema(
+            cands,
+            {"a": pa.int64(), "b": pa.int64(), "cn": pa.int64(), "adamic_adar": pa.float64()},
+        )
+
+        # anti-join the existing edges: left-join a marker, keep nulls
+        def _mark(t: pa.Table) -> pa.Table:
+            return t.append_column("__edge", pa.array(np.ones(t.num_rows, np.int8)))
+
+        marked = ensure_schema(
+            canon.map_batches(_mark, batch_format="pyarrow"),
+            {"a": pa.int64(), "b": pa.int64(), "__edge": pa.int8()},
+        )
+        j = hash_join(cands, marked, on=("a", "b"), how="left", num_buckets=nb)
+
+        def _nonedges(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.is_null(t["__edge"])).drop_columns(["__edge"])
+
+        # re-anchor the schema: when every candidate was adjacent (or the
+        # hub cap dropped every wedge) the filtered Dataset is all-empty
+        # and would report schema() None into the next join
+        nonadj = ensure_schema(
+            j.map_batches(_nonedges, batch_format="pyarrow"),
+            {"a": pa.int64(), "b": pa.int64(), "cn": pa.int64(), "adamic_adar": pa.float64()},
+        )
+
+        da = ensure_schema(
+            rename_cols(degs, {"id": "a", "deg": "deg_a"}),
+            {"a": pa.int64(), "deg_a": pa.int64()},
+        )
+        db = ensure_schema(
+            rename_cols(degs, {"id": "b", "deg": "deg_b"}),
+            {"b": pa.int64(), "deg_b": pa.int64()},
+        )
+        j2 = hash_join(hash_join(nonadj, da, on=("a",), num_buckets=nb), db, on=("b",), num_buckets=nb)
+
+        def _score(t: pa.Table) -> pa.Table:
+            cn = t["cn"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+            x = t["deg_a"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+            y = t["deg_b"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+            # |Γa ∪ Γb| = da + db − cn on a simple graph — exact double
+            # division of small ints, bit-identical to the SQL oracle
+            jac = cn / (x + y - cn)
+            return t.append_column("jaccard", pa.array(jac, pa.float64()))
+
+        scored = j2.map_batches(_score, batch_format="pyarrow")
+        out = vd.decode(scored, col="a")
+        self.scores_ = vd.decode(out, col="b").materialize()
+        return self
+
+    def top(self, k: int, metric: str = "jaccard"):
+        """Top-k candidate pairs by metric, deterministic (score desc,
+        a, b). Small result: sort + limit + to_pandas."""
+        if metric not in _METRICS:
+            raise ValueError(f"metric must be one of {_METRICS}, got {metric!r}")
+        col = {"common_neighbors": "cn"}.get(metric, metric)
+        return (
+            self.scores_.sort([col, "a", "b"], descending=[True, False, False])
+            .limit(k)
+            .to_pandas()
+        )
+
+
+class DegreeAssortativity(BaseClass):
+    """Pearson degree-assortativity coefficient of the simple undirected
+    graph (nx.degree_assortativity_coefficient semantics: correlation of
+    endpoint degrees over the symmetrized edge-end list).
+
+    Sets ``assortativity_`` (float; nan on degenerate variance).
+
+    Exactness contract with the SQL oracle: per-batch moment sums are
+    exact int64 (degree ≤ ~2M keeps every per-batch term well inside
+    int64); the final Pearson formula is evaluated with the same IEEE
+    double expression the oracle uses, so the driver hash matches
+    bit-for-bit.
+    """
+
+    def __init__(self, n_parts: int | None = None):
+        self.n_parts = n_parts or DEFAULT_N_PARTS
+
+    def fit(self, g) -> "DegreeAssortativity":
+        from mercury_graph_ray.stages.join import hash_join
+        from mercury_graph_ray.stages.util import ensure_schema, rename_cols
+
+        p = self.n_parts
+        nb = max(2, p)
+        _, canon, degs = simple_pairs(g)
+        da = ensure_schema(
+            rename_cols(degs, {"id": "a", "deg": "deg_a"}),
+            {"a": pa.int64(), "deg_a": pa.int64()},
+        )
+        db = ensure_schema(
+            rename_cols(degs, {"id": "b", "deg": "deg_b"}),
+            {"b": pa.int64(), "deg_b": pa.int64()},
+        )
+        j = hash_join(hash_join(canon, da, on=("a",), num_buckets=nb), db, on=("b",), num_buckets=nb)
+
+        def _moments(t: pa.Table) -> pa.Table:
+            x = t["deg_a"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            y = t["deg_b"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            # symmetric contribution: each undirected edge counts as
+            # both (x, y) and (y, x)
+            return pa.table(
+                {
+                    "n": pa.array([2 * len(x)], pa.int64()),
+                    "sx": pa.array([int((x + y).sum())], pa.int64()),
+                    "sxx": pa.array([int((x * x + y * y).sum())], pa.int64()),
+                    "sxy": pa.array([2 * int((x * y).sum())], pa.int64()),
+                }
+            )
+
+        parts = j.map_batches(_moments, batch_format="pyarrow").to_pandas()  # one row/batch
+        n = int(parts["n"].sum())
+        sx = int(parts["sx"].sum())
+        sxx = int(parts["sxx"].sum())
+        sxy = int(parts["sxy"].sum())
+        self.n_edge_ends_ = n
+        if n == 0:
+            self.assortativity_ = float("nan")
+            return self
+        # same expression shape as the oracle: CAST-to-double products
+        num = float(n) * float(sxy) - float(sx) * float(sx)
+        var = float(n) * float(sxx) - float(sx) * float(sx)
+        den = math.sqrt(var * var)
+        self.assortativity_ = num / den if den > 0 else float("nan")
+        return self

@@ -33,7 +33,6 @@ import pyarrow as pa
 
 from mercury_graph_ray.base import BaseClass
 from mercury_graph_ray.algos.common import DEFAULT_N_PARTS
-from mercury_graph_ray.stages.ids import VertexDict
 
 # Broadcast the per-vid uint32 degree array below this many vertices
 # (4 bytes/vid fixed width, so a row cap IS a byte cap here: 20M -> 80 MB);
@@ -126,36 +125,13 @@ class TriangleCount(BaseClass):
 
     def fit(self, g) -> "TriangleCount":
         import ray
-        from ray.data.aggregate import Count, Sum
+        from ray.data.aggregate import Sum
+
+        from mercury_graph_ray.algos.common import simple_pairs
 
         p = self.n_parts
-        if "vertex_dict" not in g._cache:
-            from mercury_graph_ray.algos.common import explicit_nodes
-
-            g._cache["vertex_dict"] = VertexDict.from_edges(g.edges, nodes=explicit_nodes(g))
-        vd: VertexDict = g._cache["vertex_dict"]
+        vd, canon, degs = simple_pairs(g)
         n = vd.n
-
-        enc = vd.encode_edges(g.edges.select_columns(["src", "dst"]))
-        canon = (
-            enc.map_batches(_canonical_pairs, batch_format="pyarrow")
-            .groupby(["a", "b"])
-            .aggregate(Count(alias_name="_n"))
-            .select_columns(["a", "b"])
-            .materialize()
-        )
-
-        # degrees over the simple graph
-        def _endpoints(t: pa.Table) -> pa.Table:
-            a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
-            b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
-            return pa.table({"id": pa.array(np.concatenate([a, b]))})
-
-        degs = (
-            canon.map_batches(_endpoints, batch_format="pyarrow")
-            .groupby("id")
-            .aggregate(Count(alias_name="deg"))
-        )
         from mercury_graph_ray.stages.util import ensure_schema
 
         if n > BROADCAST_MAX_VERTICES:

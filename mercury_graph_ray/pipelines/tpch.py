@@ -240,12 +240,27 @@ def supplier_customer_edges(sf_dir: str, broadcast_bytes: int | None = None):
     )
 
 
-def part_cooccurrence_edges(sf_dir: str):
+def part_cooccurrence_edges(sf_dir: str, min_quantity: float | None = None):
     """Canonical (a<b) part pairs co-occurring in an order — the
-    triangle-bearing graph. One groupby(order) + pair explode + dedup."""
+    triangle-bearing graph. One groupby(order) + pair explode + dedup.
+
+    ``min_quantity`` keeps only lineitems with l_quantity >= it before
+    pairing (the "heavy" sparse variant used by the k-core / link
+    prediction / assortativity contract queries — the unfiltered graph
+    has min degree 42, which makes those trivially dense)."""
     from ray.data.aggregate import Count
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    cols = ["l_orderkey", "l_partkey"] + (["l_quantity"] if min_quantity is not None else [])
+    ds = _read(sf_dir, "lineitem", cols)
+    if min_quantity is not None:
+        mq = float(min_quantity)
+
+        def _filt(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater_equal(t["l_quantity"], mq)).select(
+                ["l_orderkey", "l_partkey"]
+            )
+
+        ds = ds.map_batches(_filt, batch_format="pyarrow")
 
     def _pairs(group: dict) -> dict:
         ok = np.asarray(group["l_orderkey"], np.int64)
@@ -355,6 +370,55 @@ def clustering_coefficient_parts(sf_dir: str):
     df = tc.clustering_.to_pandas()
     df["clustering"] = _round_half_away(df["clustering"], 9)
     return df.sort_values("id").reset_index(drop=True)
+
+
+def _heavy_part_graph(sf_dir: str):
+    """Graph facade over the l_quantity>=45 part co-occurrence graph
+    (deg 1-11 at sf0.01 — sparse enough for nontrivial cores and
+    common-neighbor scores)."""
+    from mercury_graph_ray.graph import Graph
+
+    edges = part_cooccurrence_edges(sf_dir, min_quantity=45).rename_columns(
+        {"a": "src", "b": "dst"}
+    )
+    return Graph(edges)
+
+
+def assortativity_heavy_parts(sf_dir: str):
+    """Pearson degree assortativity of the heavy part graph — one row;
+    integer moment sums make the double formula bit-identical to SQL."""
+    from mercury_graph_ray.algos.linkpred import DegreeAssortativity
+    from mercury_graph_ray.pipelines.training_data import _round_half_away
+
+    da = DegreeAssortativity(n_parts=8).fit(_heavy_part_graph(sf_dir))
+    return pd.DataFrame(
+        {"assortativity": _round_half_away(pd.Series([da.assortativity_]), 9)}
+    )
+
+
+def linkpred_jaccard_heavy_parts(sf_dir: str):
+    """Top-20 non-adjacent part pairs by Jaccard coefficient (ties
+    broken by (a, b)) on the heavy part graph. cn is an exact int and
+    jaccard an exact small-int double division, so the unrounded sort
+    order matches the SQL oracle exactly."""
+    from mercury_graph_ray.algos.linkpred import LinkPrediction
+    from mercury_graph_ray.pipelines.training_data import _round_half_away
+
+    lp = LinkPrediction(n_parts=8).fit(_heavy_part_graph(sf_dir))
+    df = lp.top(20, "jaccard")[["a", "b", "cn", "jaccard"]].reset_index(drop=True)
+    df["jaccard"] = _round_half_away(df["jaccard"], 9)
+    return df
+
+
+def kcore3_heavy_parts(sf_dir: str):
+    """Vertex set of the 3-core of the heavy part graph (6 peel rounds
+    at sf0.01; the SQL oracle unrolls 24 — assert n_iter_ stays under
+    that margin so oracle drift is loud, not silent)."""
+    from mercury_graph_ray.algos.kcore import KCore
+
+    kc = KCore(3, n_parts=8).fit(_heavy_part_graph(sf_dir))
+    assert kc.n_iter_ <= 20, f"peel rounds {kc.n_iter_} approach the oracle's 24-step unroll"
+    return kc.core_.to_pandas().sort_values("id").reset_index(drop=True)
 
 
 def pagerank_supplier_customer(sf_dir: str):

@@ -1,0 +1,145 @@
+"""k-core / link-prediction / assortativity vs exact networkx oracles.
+
+Beyond-ref subgraph algorithms (SURVEY.md §2.11) over the shared
+``algos.common.simple_pairs`` kernel: nx.k_core / nx.jaccard_coefficient /
+nx.adamic_adar_index / nx.degree_assortativity_coefficient parity, the
+empty-core schema contract, and the hub-cap approximation knob.
+"""
+
+import math
+
+import networkx as nx
+import numpy as np
+import pandas as pd
+import pytest
+
+from mercury_graph_ray.algos.kcore import KCore
+from mercury_graph_ray.algos.linkpred import DegreeAssortativity, LinkPrediction
+from mercury_graph_ray.graph import Graph
+
+
+def _gnm(n, m, seed):
+    G = nx.gnm_random_graph(n, m, seed=seed)
+    df = pd.DataFrame([(int(u), int(v)) for u, v in G.edges()], columns=["src", "dst"])
+    return G, df
+
+
+def test_kcore_nx_parity(ray_session):
+    G, df = _gnm(200, 500, seed=7)
+    g = Graph(df)
+    for k in (2, 3, 4):
+        kc = KCore(k, n_parts=4).fit(g)
+        got = sorted(r["id"] for r in kc.core_.take_all())
+        want = sorted(nx.k_core(G, k).nodes())
+        assert got == want, f"k={k}"
+        assert kc.n_iter_ >= 1
+
+
+def test_kcore_empty_core_keeps_schema(ray_session):
+    # k above the degeneracy: the core is empty but the Dataset schema
+    # (id, typed like the original keys) must survive — Ray's all-empty
+    # datasets otherwise report schema() None. (to_pandas on a 0-row
+    # Dataset still drops columns — a Ray quirk outside our control —
+    # so the contract here is the schema + count.)
+    G, df = _gnm(300, 450, seed=11)
+    assert len(nx.k_core(G, 5).nodes()) == 0
+    kc = KCore(5, n_parts=4).fit(Graph(df))
+    assert kc.core_.schema().names == ["id"]
+    assert kc.core_.count() == 0
+    assert kc.core_.take_all() == []
+
+
+def test_kcore_dedupes_and_ignores_direction(ray_session):
+    # duplicate and reversed edges must not inflate degrees: a triangle
+    # listed with every edge duplicated + reversed is still only a 2-core
+    df = pd.DataFrame(
+        {"src": [1, 2, 3, 2, 3, 1, 1, 2, 3], "dst": [2, 3, 1, 1, 2, 3, 2, 3, 1]}
+    )
+    kc3 = KCore(3, n_parts=2).fit(Graph(df))
+    assert kc3.core_.count() == 0
+    kc2 = KCore(2, n_parts=2).fit(Graph(df))
+    assert sorted(r["id"] for r in kc2.core_.take_all()) == [1, 2, 3]
+
+
+def test_kcore_invalid_k(ray_session):
+    with pytest.raises(ValueError):
+        KCore(0)
+
+
+def test_kcore_peel_cascade_rounds(ray_session):
+    # a path peels one layer per round from both ends: rounds scale with
+    # the cascade depth, and the 2-core of a path is empty
+    n = 12
+    df = pd.DataFrame({"src": range(n - 1), "dst": range(1, n)})
+    kc = KCore(2, n_parts=2).fit(Graph(df))
+    assert kc.core_.count() == 0
+    assert kc.n_iter_ >= n // 2
+
+
+def _simple_undirected(df):
+    und = nx.Graph()
+    und.add_edges_from((u, v) for u, v in zip(df["src"], df["dst"]) if u != v)
+    return und
+
+
+def test_linkpred_nx_parity(ray_session):
+    G, df = _gnm(120, 360, seed=3)
+    lp = LinkPrediction(n_parts=4).fit(Graph(df))
+    got = lp.scores_.to_pandas().set_index(["a", "b"])
+    und = _simple_undirected(df)
+
+    nonedges = [(u, v) for u, v in nx.non_edges(und)]
+    jac = {(min(u, v), max(u, v)): p for u, v, p in nx.jaccard_coefficient(und, nonedges)}
+    aa = {(min(u, v), max(u, v)): p for u, v, p in nx.adamic_adar_index(und, nonedges)}
+    cn = {
+        k: len(list(nx.common_neighbors(und, *k))) for k in jac
+    }
+    want_pairs = {k for k, c in cn.items() if c >= 1}
+    assert set(got.index) == want_pairs
+    for k in want_pairs:
+        assert got.loc[k, "cn"] == cn[k]
+        assert abs(got.loc[k, "jaccard"] - jac[k]) < 1e-12
+        assert abs(got.loc[k, "adamic_adar"] - aa[k]) < 1e-9
+        assert got.loc[k, "deg_a"] == und.degree(k[0])
+        assert got.loc[k, "deg_b"] == und.degree(k[1])
+
+
+def test_linkpred_top_deterministic_and_invalid_metric(ray_session):
+    _, df = _gnm(80, 200, seed=5)
+    lp = LinkPrediction(n_parts=4).fit(Graph(df))
+    t1 = lp.top(10, "jaccard")
+    t2 = lp.top(10, "jaccard")
+    pd.testing.assert_frame_equal(t1, t2)
+    assert len(t1) == 10
+    # ties broken by (a, b): the sort keys are monotone
+    keys = list(zip(-t1["jaccard"], t1["a"], t1["b"]))
+    assert keys == sorted(keys)
+    with pytest.raises(ValueError):
+        lp.top(5, "katz")
+
+
+def test_linkpred_max_degree_cap_drops_hub_wedges(ray_session):
+    # star K1,4: every candidate pair's only common neighbor is the
+    # degree-4 center; capping at 3 removes all wedges
+    df = pd.DataFrame({"src": [0, 0, 0, 0], "dst": [1, 2, 3, 4]})
+    full = LinkPrediction(n_parts=2).fit(Graph(df))
+    assert len(full.scores_.to_pandas()) == 6  # C(4,2) leaf pairs
+    capped = LinkPrediction(n_parts=2, max_degree=3).fit(Graph(df))
+    assert len(capped.scores_.to_pandas()) == 0
+
+
+def test_assortativity_nx_parity(ray_session):
+    for seed, n, m in [(3, 120, 360), (9, 200, 400)]:
+        G, df = _gnm(n, m, seed=seed)
+        da = DegreeAssortativity(n_parts=4).fit(Graph(df))
+        want = nx.degree_assortativity_coefficient(G)
+        assert math.isfinite(da.assortativity_)
+        assert abs(da.assortativity_ - want) < 1e-9
+
+
+def test_assortativity_degenerate_variance_is_nan(ray_session):
+    # k-regular graph: zero degree variance -> nan, matching nx's warning
+    G = nx.cycle_graph(10)
+    df = pd.DataFrame([(u, v) for u, v in G.edges()], columns=["src", "dst"])
+    da = DegreeAssortativity(n_parts=2).fit(Graph(df))
+    assert math.isnan(da.assortativity_)
