@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity_heavy_parts": tpch.assortativity_heavy_parts,
         "linkpred_jaccard_heavy_parts": tpch.linkpred_jaccard_heavy_parts,
         "kcore3_heavy_parts": tpch.kcore3_heavy_parts,
+        "reciprocity_part_sequence": tpch.reciprocity_part_sequence,
         "pagerank_supplier_customer": tpch.pagerank_supplier_customer,
         "pagerank_fixed20_supplier_customer": tpch.pagerank_fixed20_supplier_customer,
         "hits_supplier_customer": tpch.hits_supplier_customer,
@@ -57,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components_supplier_customer": tpch.connected_components_supplier_customer,
         "bfs_hops_supplier_s1": tpch.bfs_hops_supplier_s1,
         "closeness_landmarks_suppliers": tpch.closeness_landmarks_suppliers,
+        "harmonic_ecc_landmarks_suppliers": tpch.harmonic_ecc_landmarks_suppliers,
         "label_propagation_supplier_customer": tpch.label_propagation_supplier_customer,
         # temporal joins + windows (stages/temporal: as-of, range, hopping)
         "events_last_purchase_asof": tpch.events_last_purchase_asof,
@@ -616,6 +618,33 @@ def oracle_sql() -> dict[str, str]:
             FROM scored ORDER BY j DESC, a, b LIMIT 20
         """,
         "kcore3_heavy_parts": _kcore_oracle(k=3, rounds=24),
+        # reciprocity of the DISTINCT directed part-transition edge set
+        # (nx.overall_reciprocity semantics); exact int counts, the same
+        # CAST-to-double division as Graph.reciprocity
+        "reciprocity_part_sequence": """
+            WITH seq AS (
+                SELECT l_orderkey, l_partkey,
+                       lead(l_partkey) OVER (
+                           PARTITION BY l_orderkey
+                           ORDER BY l_linenumber, l_partkey
+                       ) AS nxt
+                FROM lineitem
+            ),
+            e AS (
+                SELECT DISTINCT l_partkey AS src, nxt AS dst FROM seq
+                WHERE nxt IS NOT NULL AND nxt <> l_partkey
+            ),
+            m AS (
+                SELECT count(*) AS n_edges,
+                       sum(CASE WHEN EXISTS (
+                               SELECT 1 FROM e r
+                               WHERE r.src = e.dst AND r.dst = e.src)
+                           THEN 1 ELSE 0 END) AS n_recip
+                FROM e
+            )
+            SELECT round(CAST(n_recip AS DOUBLE) / n_edges, 9) AS reciprocity
+            FROM m
+        """,
         "connected_components_supplier_customer": """
             WITH RECURSIVE
             e0 AS (
@@ -703,6 +732,58 @@ def oracle_sql() -> dict[str, str]:
                                 + (CASE WHEN h3 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
                              / (coalesce(h1, 0) + coalesce(h2, 0) + coalesce(h3, 0))
                         ELSE 0.0 END AS closeness
+            FROM j ORDER BY id
+        """,
+        # harmonic centrality + eccentricity lower bound from the same
+        # three bounded-BFS CTEs: harmonic = sum of 1/hops over landmarks
+        # at positive distance (left-to-right term order matches the
+        # numpy landmark-order summation bit-for-bit); ecc_lb = max hops
+        # to a reached landmark, -1 when none (matches the -1-filled
+        # distance columns' plain max)
+        "harmonic_ecc_landmarks_suppliers": """
+            WITH RECURSIVE
+            e0 AS (
+                SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2
+            ),
+            e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+            nodes AS (SELECT DISTINCT src AS id FROM e),
+            r1(id, hops) AS (
+                SELECT 's1', 0
+                UNION
+                SELECT e.dst, r.hops + 1 FROM r1 r JOIN e ON e.src = r.id
+                WHERE r.hops < 24
+            ),
+            r2(id, hops) AS (
+                SELECT 's2', 0
+                UNION
+                SELECT e.dst, r.hops + 1 FROM r2 r JOIN e ON e.src = r.id
+                WHERE r.hops < 24
+            ),
+            r3(id, hops) AS (
+                SELECT 'c1', 0
+                UNION
+                SELECT e.dst, r.hops + 1 FROM r3 r JOIN e ON e.src = r.id
+                WHERE r.hops < 24
+            ),
+            b1 AS (SELECT id, min(hops) AS h FROM r1 GROUP BY id),
+            b2 AS (SELECT id, min(hops) AS h FROM r2 GROUP BY id),
+            b3 AS (SELECT id, min(hops) AS h FROM r3 GROUP BY id),
+            j AS (
+                SELECT n.id, b1.h AS h1, b2.h AS h2, b3.h AS h3
+                FROM nodes n
+                LEFT JOIN b1 ON b1.id = n.id
+                LEFT JOIN b2 ON b2.id = n.id
+                LEFT JOIN b3 ON b3.id = n.id
+            )
+            SELECT id,
+                   (CASE WHEN coalesce(h1, 0) > 0 THEN 1.0 / h1 ELSE 0.0 END)
+                 + (CASE WHEN coalesce(h2, 0) > 0 THEN 1.0 / h2 ELSE 0.0 END)
+                 + (CASE WHEN coalesce(h3, 0) > 0 THEN 1.0 / h3 ELSE 0.0 END)
+                   AS harmonic,
+                   greatest(coalesce(h1, -1), coalesce(h2, -1), coalesce(h3, -1))
+                   AS ecc_lb
             FROM j ORDER BY id
         """,
         "spread_activation_suppliers": """

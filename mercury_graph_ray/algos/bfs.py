@@ -97,8 +97,15 @@ class _BfsProgram(VertexProgram):
 class BfsDistances(BaseClass):
     """``BfsDistances(sources=[...]).fit(g)`` sets ``distances_``: a
     Dataset of (id, hops_<source>...) with -1 for unreachable vertices,
-    and ``closeness_``: (id, closeness = n_reached / sum(dist over
-    reached landmarks); 0.0 when no landmark is at positive distance)."""
+    plus three landmark centralities derived from it:
+
+    - ``closeness_``: (id, closeness = n_reached / sum(dist over reached
+      landmarks); 0.0 when no landmark is at positive distance);
+    - ``harmonic_``: (id, harmonic = sum of 1/dist over landmarks at
+      positive distance — nx.harmonic_centrality ``sources=`` semantics);
+    - ``ecc_``: (id, ecc_lb = max dist to any reached landmark, -1 when
+      none reachable — the lower bound whose max is the pseudo-diameter).
+    """
 
     def __init__(self, sources: list, *, undirected: bool = True,
                  weighted: bool = False, max_iter: int = 200,
@@ -184,4 +191,35 @@ class BfsDistances(BaseClass):
             return pa.table({"id": t["id"], "closeness": pa.array(c, pa.float64())})
 
         self.closeness_ = self.distances_.map_batches(_closeness, batch_format="pyarrow")
+
+        # harmonic centrality restricted to the landmark set: sum of 1/d
+        # over landmarks at positive distance (nx.harmonic_centrality
+        # sources= semantics — self distance 0 and unreachable landmarks
+        # contribute nothing). Landmark-order summation matches the SQL
+        # oracle's left-to-right addition bit-for-bit.
+        def _harmonic(t: pa.Table) -> pa.Table:
+            h = np.zeros(t.num_rows, np.float64)
+            for c in dist_cols:
+                d = t[c].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+                h = h + np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 0.0)
+            return pa.table({"id": t["id"], "harmonic": pa.array(h, pa.float64())})
+
+        self.harmonic_ = self.distances_.map_batches(_harmonic, batch_format="pyarrow")
+
+        # landmark eccentricity LOWER BOUND: max distance to any reached
+        # landmark (-1 when no landmark is reachable). True eccentricity
+        # needs all-pairs; max-over-landmarks is the standard lower bound
+        # whose max over vertices is the pseudo-diameter.
+        def _ecc(t: pa.Table) -> pa.Table:
+            m = np.stack(
+                [
+                    t[c].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+                    for c in dist_cols
+                ]
+            )
+            e = m.max(axis=0)  # unreachable is already -1 in every column
+            arr = pa.array(e, pa.float64()) if weighted else pa.array(e.astype(np.int64))
+            return pa.table({"id": t["id"], "ecc_lb": arr})
+
+        self.ecc_ = self.distances_.map_batches(_ecc, batch_format="pyarrow")
         return self

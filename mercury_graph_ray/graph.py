@@ -295,6 +295,78 @@ class Graph:
             {"id": id_type, alias: pa.float64()},
         )
 
+    def reciprocity(self, n_buckets: int = 64) -> float:
+        """Edge reciprocity of the DISTINCT directed edge set — the
+        fraction of directed edges that belong to a mutual (u⇄v) pair
+        (nx.overall_reciprocity semantics: self-loops count in the
+        denominator but are NOT reciprocal; duplicate input edges are
+        collapsed first). A classic web-link-graph statistic
+        (beyond-ref, SURVEY.md §2.11).
+
+        One shuffle: every edge is keyed by its UNORDERED vid pair, so
+        both directions of a mutual pair land in the same bucket and the
+        per-bucket kernel dedupes + counts mutuality vectorized; only
+        (n_edges, n_recip) int partials reach the driver. nan on an
+        empty edge set, like networkx's error case."""
+        import numpy as np
+
+        from mercury_graph_ray.algos.common import explicit_nodes
+        from mercury_graph_ray.stages.ids import VertexDict
+
+        if "vertex_dict" not in self._cache:
+            self._cache["vertex_dict"] = VertexDict.from_edges(
+                self._edges, nodes=explicit_nodes(self)
+            )
+        vd = self._cache["vertex_dict"]
+        enc = vd.encode_edges(self._edges.select_columns(["src", "dst"]))
+        nb = int(n_buckets)
+
+        def _key(t: pa.Table) -> pa.Table:
+            s = t["src"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t["dst"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            a = np.minimum(s, d)
+            b = np.maximum(s, d)
+            return pa.table(
+                {
+                    "a": pa.array(a),
+                    "b": pa.array(b),
+                    "f": pa.array((s <= d).astype(np.int8)),
+                    "__bkt": pa.array((a * 1000003 + b) % nb),
+                }
+            )
+
+        def _partial(group: dict) -> dict:
+            trip = np.stack(
+                [
+                    np.asarray(group["a"], np.int64),
+                    np.asarray(group["b"], np.int64),
+                    np.asarray(group["f"], np.int64),
+                ],
+                axis=1,
+            )
+            uniq = np.unique(trip, axis=0)  # distinct directed edges
+            a2, b2 = uniq[:, 0], uniq[:, 1]
+            # lexsorted, ≤2 rows per (a, b): an adjacent duplicate pair
+            # key means both directions exist
+            both = (a2[1:] == a2[:-1]) & (b2[1:] == b2[:-1])
+            n_mutual = int(both.sum())
+            return {
+                "n_edges": np.array([len(uniq)], np.int64),
+                "n_recip": np.array([2 * n_mutual], np.int64),
+            }
+
+        parts = (
+            enc.map_batches(_key, batch_format="pyarrow")
+            .groupby("__bkt")
+            .map_groups(_partial, batch_format="numpy")
+            .to_pandas()
+        )
+        n_edges = int(parts["n_edges"].sum())
+        n_recip = int(parts["n_recip"].sum())
+        if n_edges == 0:
+            return float("nan")
+        return float(n_recip) / float(n_edges)
+
     # ---------------------------------------------------------- algorithms
     def pagerank(self, **kw):
         from mercury_graph_ray.algos.pagerank import PageRank

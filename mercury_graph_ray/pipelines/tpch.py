@@ -421,6 +421,61 @@ def kcore3_heavy_parts(sf_dir: str):
     return kc.core_.to_pandas().sort_values("id").reset_index(drop=True)
 
 
+def part_sequence_edges(sf_dir: str):
+    """DIRECTED part-transition graph: within each order (sorted by
+    (l_linenumber, l_partkey) — the synthetic data repeats linenumbers,
+    so the partkey tiebreak makes the sequence a total order), an edge
+    from each part to the next distinct part — distinct (src, dst)
+    pairs. Unlike the co-occurrence graph this one is directed with
+    mutual pairs, so it exercises the directed statistics (reciprocity,
+    SCC). Same int-bucket + in-task segmentation shuffle as
+    part_cooccurrence_edges."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
+    n_buckets = 32
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket", pc.bit_wise_and(t["l_orderkey"], n_buckets - 1)
+        )
+
+    def _seq_edges(group: dict) -> dict:
+        ok = np.asarray(group["l_orderkey"], np.int64)
+        ln = np.asarray(group["l_linenumber"], np.int64)
+        pk = np.asarray(group["l_partkey"], np.int64)
+        order = np.lexsort((pk, ln, ok))
+        ok, pk = ok[order], pk[order]
+        same_order = ok[1:] == ok[:-1]
+        src, dst = pk[:-1][same_order], pk[1:][same_order]
+        keep = src != dst
+        sd = np.stack([src[keep], dst[keep]], 1)
+        uniq = np.unique(sd, axis=0) if len(sd) else sd.reshape(0, 2)
+        return {"src": uniq[:, 0], "dst": uniq[:, 1]}
+
+    edges = (
+        ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_seq_edges, batch_format="numpy")
+    )
+    return (
+        edges.groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["src", "dst"])
+    )
+
+
+def reciprocity_part_sequence(sf_dir: str):
+    """Edge reciprocity of the directed part-transition graph — one row
+    (Graph.reciprocity: exact int counts, double division identical to
+    the SQL oracle's)."""
+    from mercury_graph_ray.graph import Graph
+    from mercury_graph_ray.pipelines.training_data import _round_half_away
+
+    r = Graph(part_sequence_edges(sf_dir).materialize()).reciprocity()
+    return pd.DataFrame({"reciprocity": _round_half_away(pd.Series([r]), 9)})
+
+
 def pagerank_supplier_customer(sf_dir: str):
     """Converged PageRank on the supplier→customer graph (no SQL oracle —
     iterative; parity is covered by the networkx suite in tests/)."""
@@ -526,6 +581,24 @@ def closeness_landmarks_suppliers(sf_dir: str):
     df = bd.closeness_.to_pandas()
     df["id"] = df["id"].astype(str)
     return df.sort_values("id").reset_index(drop=True)[["id", "closeness"]]
+
+
+def harmonic_ecc_landmarks_suppliers(sf_dir: str):
+    """Landmark harmonic centrality + eccentricity lower bound over the
+    undirected supplier-customer graph (algos/bfs.BfsDistances.harmonic_
+    / .ecc_ — same bounded-BFS state as the closeness query; SQL oracle
+    reuses its per-landmark recursive CTEs)."""
+    from mercury_graph_ray.algos.bfs import BfsDistances
+    from mercury_graph_ray.graph import Graph
+
+    bd = BfsDistances(sources=["s1", "s2", "c1"], n_parts=8).fit(
+        Graph(supplier_customer_edges(sf_dir).materialize())
+    )
+    h = bd.harmonic_.to_pandas()
+    e = bd.ecc_.to_pandas()
+    df = h.merge(e, on="id")
+    df["id"] = df["id"].astype(str)
+    return df.sort_values("id").reset_index(drop=True)[["id", "harmonic", "ecc_lb"]]
 
 
 def connected_components_supplier_customer(sf_dir: str):

@@ -317,6 +317,30 @@ def test_bfs_closeness_attribute(ray_session):
         assert abs(c[v] - want) < 1e-12, v
 
 
+def test_bfs_harmonic_and_eccentricity_attributes(ray_session):
+    """harmonic_ matches nx.harmonic_centrality(sources=landmarks) exactly
+    on the reachable component; ecc_lb is the max landmark distance
+    (-1 for vertices no landmark reaches)."""
+    import networkx as nx
+
+    from mercury_graph_ray.algos.bfs import BfsDistances
+
+    g = nx.erdos_renyi_graph(150, 0.03, seed=6)
+    g.add_edge(200, 201)  # component no landmark reaches
+    e = pd.DataFrame({"src": [u for u, v in g.edges], "dst": [v for u, v in g.edges],
+                      "weight": 1.0})
+    b = BfsDistances(["0", "5", "9"], undirected=True, n_parts=4).fit(Graph(e))
+    h = b.harmonic_.to_pandas().set_index("id")["harmonic"]
+    ecc = b.ecc_.to_pandas().set_index("id")["ecc_lb"]
+    want = nx.harmonic_centrality(g, sources=[0, 5, 9])
+    d = {s: nx.single_source_shortest_path_length(g, s) for s in (0, 5, 9)}
+    for v in g.nodes:
+        assert abs(h[v] - want[v]) < 1e-12, v
+        reach = [d[s][v] for s in d if v in d[s]]
+        assert ecc[v] == (max(reach) if reach else -1), v
+    assert ecc[200] == -1 and h[200] == 0.0
+
+
 def _path_edges(n: int) -> pd.DataFrame:
     return pd.DataFrame(
         {

@@ -254,3 +254,25 @@ def test_driver_entry_smoke(ray_session):
     assert len(df) > 0
     assert {"id", "rank"} <= set(df.columns)
     assert abs(df["rank"].sum() - 1.0) < 1e-6
+
+
+def test_reciprocity_nx_parity(ray_session):
+    """Graph.reciprocity == nx.overall_reciprocity on the distinct edge
+    set: mutual pairs count both directions, a self-loop is its own
+    reverse, duplicate input rows collapse."""
+    import networkx as nx
+
+    G = nx.gnp_random_graph(80, 0.05, seed=2, directed=True)
+    G.add_edge(5, 5)
+    rows = [(u, v) for u, v in G.edges()]
+    df = pd.DataFrame(rows + rows[:37], columns=["src", "dst"])  # dups
+    r = Graph(df).reciprocity()
+    assert abs(r - nx.overall_reciprocity(G)) < 1e-12
+
+
+def test_reciprocity_extremes(ray_session):
+    """0.0 on a one-way graph, 1.0 when every edge is mutual."""
+    one_way = pd.DataFrame({"src": [1, 2, 3], "dst": [2, 3, 4]})
+    assert Graph(one_way).reciprocity() == 0.0
+    mutual = pd.DataFrame({"src": [1, 2, 2, 3], "dst": [2, 1, 3, 2]})
+    assert Graph(mutual).reciprocity() == 1.0
