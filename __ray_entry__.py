@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkpred_jaccard_heavy_parts": tpch.linkpred_jaccard_heavy_parts,
         "kcore3_heavy_parts": tpch.kcore3_heavy_parts,
         "reciprocity_part_sequence": tpch.reciprocity_part_sequence,
+        "scc_heavy_part_sequence": tpch.scc_heavy_part_sequence,
         "pagerank_supplier_customer": tpch.pagerank_supplier_customer,
         "pagerank_fixed20_supplier_customer": tpch.pagerank_fixed20_supplier_customer,
         "hits_supplier_customer": tpch.hits_supplier_customer,
@@ -644,6 +645,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT round(CAST(n_recip AS DOUBLE) / n_edges, 9) AS reciprocity
             FROM m
+        """,
+        # SCC labels from the transitive closure of the heavy (l_quantity
+        # >= 40) part-transition graph: scc(v) = min over v's
+        # mutual-reach set (including v). The closure is ~3M pairs at
+        # sf0.01 — fine for an oracle, the distributed FW-BW coloring is
+        # the scale path.
+        "scc_heavy_part_sequence": """
+            WITH RECURSIVE seq AS (
+                SELECT l_orderkey, l_partkey,
+                       lead(l_partkey) OVER (
+                           PARTITION BY l_orderkey
+                           ORDER BY l_linenumber, l_partkey
+                       ) AS nxt
+                FROM lineitem WHERE l_quantity >= 40
+            ),
+            e AS (
+                SELECT DISTINCT l_partkey AS src, nxt AS dst FROM seq
+                WHERE nxt IS NOT NULL AND nxt <> l_partkey
+            ),
+            nodes AS (
+                SELECT DISTINCT id FROM (
+                    SELECT src AS id FROM e UNION ALL SELECT dst FROM e
+                )
+            ),
+            reach(a, b) AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+            ),
+            mutual AS (
+                SELECT r1.a AS u, r1.b AS v
+                FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+            ),
+            lab AS (
+                SELECT n.id,
+                       least(n.id, coalesce(m.mn, n.id)) AS scc
+                FROM nodes n
+                LEFT JOIN (SELECT v, min(u) AS mn FROM mutual GROUP BY v) m
+                       ON m.v = n.id
+            )
+            SELECT id, scc,
+                   count(*) OVER (PARTITION BY scc) AS scc_size
+            FROM lab ORDER BY id
         """,
         "connected_components_supplier_customer": """
             WITH RECURSIVE

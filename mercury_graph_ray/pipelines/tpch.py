@@ -421,7 +421,7 @@ def kcore3_heavy_parts(sf_dir: str):
     return kc.core_.to_pandas().sort_values("id").reset_index(drop=True)
 
 
-def part_sequence_edges(sf_dir: str):
+def part_sequence_edges(sf_dir: str, min_quantity: float | None = None):
     """DIRECTED part-transition graph: within each order (sorted by
     (l_linenumber, l_partkey) — the synthetic data repeats linenumbers,
     so the partkey tiebreak makes the sequence a total order), an edge
@@ -429,10 +429,27 @@ def part_sequence_edges(sf_dir: str):
     pairs. Unlike the co-occurrence graph this one is directed with
     mutual pairs, so it exercises the directed statistics (reciprocity,
     SCC). Same int-bucket + in-task segmentation shuffle as
-    part_cooccurrence_edges."""
+    part_cooccurrence_edges.
+
+    ``min_quantity`` pre-filters lineitems (BEFORE sequencing, so the
+    sequence is over the heavy items only): the unfiltered graph is one
+    giant SCC, while >=40 gives the classic bowtie (one 1496-vertex core
+    + 460 singleton tendrils at sf0.01) the SCC query needs."""
     from ray.data.aggregate import Count
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_partkey"])
+    cols = ["l_orderkey", "l_linenumber", "l_partkey"] + (
+        ["l_quantity"] if min_quantity is not None else []
+    )
+    ds = _read(sf_dir, "lineitem", cols)
+    if min_quantity is not None:
+        mq = float(min_quantity)
+
+        def _filt(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater_equal(t["l_quantity"], mq)).select(
+                ["l_orderkey", "l_linenumber", "l_partkey"]
+            )
+
+        ds = ds.map_batches(_filt, batch_format="pyarrow")
     n_buckets = 32
 
     def _bucket(t: pa.Table) -> pa.Table:
@@ -474,6 +491,19 @@ def reciprocity_part_sequence(sf_dir: str):
 
     r = Graph(part_sequence_edges(sf_dir).materialize()).reciprocity()
     return pd.DataFrame({"reciprocity": _round_half_away(pd.Series([r]), 9)})
+
+
+def scc_heavy_part_sequence(sf_dir: str):
+    """Strongly connected components of the l_quantity>=40 part-transition
+    graph (the bowtie: one giant core + singleton tendrils). scc = min
+    member id — exact vs the transitive-closure SQL oracle."""
+    from mercury_graph_ray.algos.scc import StronglyConnectedComponents
+    from mercury_graph_ray.graph import Graph
+
+    s = StronglyConnectedComponents(n_parts=8).fit(
+        Graph(part_sequence_edges(sf_dir, min_quantity=40).materialize())
+    )
+    return s.components_.to_pandas().sort_values("id").reset_index(drop=True)
 
 
 def pagerank_supplier_customer(sf_dir: str):
