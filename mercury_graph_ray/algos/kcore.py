@@ -73,7 +73,7 @@ def simple_gas(g, n_parts: int, workdir: str | None = None):
 
 
 class _KCoreProgram(VertexProgram):
-    state_columns = ("deg", "dead")
+    state_columns = ("deg", "dead", "newly")
 
     def __init__(self, k: int):
         self.k = k
@@ -84,12 +84,12 @@ class _KCoreProgram(VertexProgram):
     def init(self, csr, cache) -> dict:
         deg = np.diff(csr.indptr).astype(np.int64)  # simple symmetric graph
         newly = deg < self.k
-        return {"deg": deg, "dead": newly.copy(), "_newly": newly}
+        return {"deg": deg, "dead": newly.copy(), "newly": newly}
 
     def scatter(self, csr, state, cache) -> list:
         bounds, local = cache
         p = csr.n_parts
-        newly = state["_newly"]
+        newly = state["newly"]
         if csr.n_edges == 0 or not newly.any():
             e = np.array([], np.int64)
             return [(e, e) for _ in range(p)]
@@ -115,7 +115,7 @@ class _KCoreProgram(VertexProgram):
         newly = (~dead) & (deg < self.k)
         state["deg"] = deg
         state["dead"] = dead | newly
-        state["_newly"] = newly
+        state["newly"] = newly
         return {"n_died": int(newly.sum())}
 
 
@@ -130,6 +130,9 @@ class KCore(BaseClass):
         n_parts: int | None = None,
         max_iter: int = 10_000,
         workdir: str | None = None,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 5,
+        resume: bool = False,
         actor_num_cpus: float | None = None,
     ):
         if k < 1:
@@ -138,29 +141,51 @@ class KCore(BaseClass):
         self.n_parts = n_parts or DEFAULT_N_PARTS
         self.max_iter = max_iter
         self.workdir = workdir
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
+        self.resume = resume
         self.actor_num_cpus = actor_num_cpus
 
     def fit(self, g) -> "KCore":
         import pyarrow.compute as pc
 
         from mercury_graph_ray.stages.util import ensure_schema
+        from mercury_graph_ray.state.checkpoint import CheckpointManager
 
         vd, _, _ = simple_pairs(g)
         gas = simple_gas(g, self.n_parts, self.workdir)
         engine = BspEngine(
             gas, _KCoreProgram(self.k), actor_num_cpus=self.actor_num_cpus
         )
+        # the persisted ``newly`` column carries the round's not-yet-
+        # announced deaths, so a checkpoint taken after any round resumes
+        # mid-cascade exactly
+        ckpt = None
+        if self.checkpoint_dir:
+            ckpt = CheckpointManager(
+                self.checkpoint_dir,
+                "kcore",
+                fingerprint={"n": gas.n, "p": gas.p, "k": self.k},
+            )
         it = 0
         converged = False
-        while it < self.max_iter:
+        if ckpt and self.resume:
+            found = ckpt.latest()
+            if found is not None:
+                it, manifest = found
+                engine.load_checkpoint(ckpt, it)
+                converged = bool(manifest.get("metrics", {}).get("converged", False))
+        while not converged and it < self.max_iter:
             it += 1
             if sum(m["n_died"] for m in engine.superstep()) == 0:
                 converged = True
-                break
+            if ckpt and (it % self.checkpoint_every == 0 or converged):
+                engine.save_checkpoint(ckpt, it, {"n_iter": it, "converged": converged})
+        if not converged:
+            engine.shutdown()
+            raise RuntimeError(f"k-core peel did not finish in {self.max_iter} rounds")
         state = engine.state_dataset()
         engine.shutdown()
-        if not converged:
-            raise RuntimeError(f"k-core peel did not finish in {self.max_iter} rounds")
         self.n_iter_ = it
 
         def _alive(t: pa.Table) -> pa.Table:

@@ -180,11 +180,17 @@ class StronglyConnectedComponents(BaseClass):
         max_iter: int = 10_000,
         n_parts: int | None = None,
         workdir: str | None = None,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 1,
+        resume: bool = False,
         actor_num_cpus: float | None = None,
     ):
         self.max_iter = max_iter
         self.n_parts = n_parts
         self.workdir = workdir
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every  # in PHASES (peel rounds)
+        self.resume = resume
         self.actor_num_cpus = actor_num_cpus
 
     def fit(self, g) -> "StronglyConnectedComponents":
@@ -192,6 +198,7 @@ class StronglyConnectedComponents(BaseClass):
 
         from mercury_graph_ray.stages.join import hash_join
         from mercury_graph_ray.stages.util import ensure_schema
+        from mercury_graph_ray.state.checkpoint import CheckpointManager
 
         if not g.directed:
             raise ValueError(
@@ -201,35 +208,66 @@ class StronglyConnectedComponents(BaseClass):
         vd, gas = prepare(g, symmetrize=False, n_parts=self.n_parts, workdir=self.workdir)
         engine = BspEngine(gas, _SccProgram(), actor_num_cpus=self.actor_num_cpus)
 
-        def _run() -> int:
-            return int(sum(m.get("n_changed", 0) for m in engine.superstep()))
-
+        # checkpoints land on PHASE boundaries (after settle), where
+        # reached is all-False and _mode resets to 'fwd' — the whole
+        # phase-loop state is then exactly the persisted state_columns
+        ckpt = None
+        if self.checkpoint_dir:
+            ckpt = CheckpointManager(
+                self.checkpoint_dir, "scc", fingerprint={"n": gas.n, "p": gas.p}
+            )
         it = 0
         phases = 0
         n_active = gas.n
+        if ckpt and self.resume:
+            found = ckpt.latest()
+            if found is not None:
+                t, manifest = found
+                engine.load_checkpoint(ckpt, t)
+                m = manifest.get("metrics", {})
+                it = t
+                phases = int(m.get("phase", 0))
+                n_active = int(m.get("n_active", n_active))
+
+        def _run() -> int:
+            return int(sum(m.get("n_changed", 0) for m in engine.superstep()))
+
+        def _to_fixpoint(mode: str, **kv) -> None:
+            nonlocal it
+            engine.broadcast_state(_mode=mode, **kv)
+            while it < self.max_iter:
+                it += 1
+                if _run() == 0:
+                    return
+            engine.shutdown()
+            raise RuntimeError(
+                f"SCC did not finish in {self.max_iter} supersteps "
+                f"(budget ended during the {mode} pass of phase {phases})"
+            )
+
         while n_active > 0:
             phases += 1
-            engine.broadcast_state(_mode="fwd")
-            while it < self.max_iter:
-                it += 1
-                if _run() == 0:
-                    break
-            engine.broadcast_state(_mode="bwd", _init_bwd=True)
-            while it < self.max_iter:
-                it += 1
-                if _run() == 0:
-                    break
+            _to_fixpoint("fwd")
+            _to_fixpoint("bwd", _init_bwd=True)
             engine.broadcast_state(_mode="settle")
             it += 1
             metrics = engine.superstep()
             n_settled = sum(m["n_settled"] for m in metrics)
             n_active = sum(m["n_active"] for m in metrics)
-            if it >= self.max_iter and n_active > 0:
-                engine.shutdown()
-                raise RuntimeError(f"SCC did not finish in {self.max_iter} supersteps")
             if n_settled == 0 and n_active > 0:  # pragma: no cover - safety
                 engine.shutdown()
                 raise RuntimeError("SCC made no progress (bug): active vertices remain")
+            if ckpt and (phases % self.checkpoint_every == 0 or n_active == 0):
+                engine.save_checkpoint(
+                    ckpt,
+                    it,
+                    {
+                        "phase": phases,
+                        "n_active": n_active,
+                        "n_settled": n_settled,
+                        "converged": n_active == 0,
+                    },
+                )
         self.n_iter_ = it
         self.n_phases_ = phases
 

@@ -167,7 +167,11 @@ class _PartitionActor:
             order = np.argsort(ids)
             t = t.take(order)
         for c in self.program.state_columns:
-            self.state[c] = t[c].combine_chunks().to_numpy(zero_copy_only=False)
+            # copy: arrow-backed numpy views are read-only, but programs
+            # mutate their dense state vectors in place
+            self.state[c] = np.array(
+                t[c].combine_chunks().to_numpy(zero_copy_only=False), copy=True
+            )
 
 
 class BspEngine:

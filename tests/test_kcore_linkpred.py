@@ -143,3 +143,28 @@ def test_assortativity_degenerate_variance_is_nan(ray_session):
     df = pd.DataFrame([(u, v) for u, v in G.edges()], columns=["src", "dst"])
     da = DegreeAssortativity(n_parts=2).fit(Graph(df))
     assert math.isnan(da.assortativity_)
+
+
+def test_kcore_checkpoint_resume(ray_session, tmp_path):
+    """A peel killed mid-cascade resumes from the last checkpoint (the
+    persisted `newly` column carries the pending death announcements) to
+    the identical core."""
+    # path of 14 (peels ~7 rounds from both ends) + a surviving triangle
+    n = 14
+    edges = [(i, i + 1) for i in range(n - 1)] + [(100, 101), (101, 102), (102, 100)]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+
+    full = KCore(2, n_parts=2).fit(Graph(df))
+    want = sorted(r["id"] for r in full.core_.take_all())
+    assert want == [100, 101, 102]
+    assert full.n_iter_ > 4
+
+    ck = str(tmp_path / "ck")
+    with pytest.raises(RuntimeError, match="did not finish"):
+        KCore(2, n_parts=2, max_iter=3, checkpoint_dir=ck, checkpoint_every=1).fit(
+            Graph(df)
+        )
+    resumed = KCore(2, n_parts=2, checkpoint_dir=ck, resume=True,
+                    checkpoint_every=1).fit(Graph(df))
+    assert resumed.n_iter_ == full.n_iter_  # continued the same cascade
+    assert sorted(r["id"] for r in resumed.core_.take_all()) == want

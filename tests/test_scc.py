@@ -90,3 +90,34 @@ def test_scc_chain_phase_peeling(ray_session):
     s = _check(G, n_parts=2)
     assert s.n_components_ == n
     assert s.n_phases_ >= 2
+
+
+def test_scc_checkpoint_resume(ray_session, tmp_path):
+    """A run killed by the superstep budget mid-phase resumes from the
+    last phase-boundary checkpoint to identical labels."""
+    # two 5-cycles bridged by a DAG edge: exactly 2 peel phases
+    edges = [(i, (i + 1) % 5) for i in range(5)]
+    edges += [(10 + i, 10 + (i + 1) % 5) for i in range(5)]
+    edges += [(0, 10)]
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+
+    full = StronglyConnectedComponents(
+        n_parts=2, checkpoint_dir=str(tmp_path / "full"), checkpoint_every=1
+    ).fit(Graph(df))
+    want = full.components_.to_pandas().sort_values("id").reset_index(drop=True)
+    assert full.n_phases_ == 2
+
+    ck = str(tmp_path / "ck")
+    with pytest.raises(RuntimeError, match="did not finish"):
+        # budget ends during phase 2, after phase 1's checkpoint landed
+        StronglyConnectedComponents(
+            n_parts=2, max_iter=full.n_iter_ - 2, checkpoint_dir=ck,
+            checkpoint_every=1,
+        ).fit(Graph(df))
+
+    resumed = StronglyConnectedComponents(
+        n_parts=2, checkpoint_dir=ck, resume=True, checkpoint_every=1
+    ).fit(Graph(df))
+    assert resumed.n_phases_ == 2  # continued from the phase-1 checkpoint
+    got = resumed.components_.to_pandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
