@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops_supplier_s1": tpch.bfs_hops_supplier_s1,
         "closeness_landmarks_suppliers": tpch.closeness_landmarks_suppliers,
         "harmonic_ecc_landmarks_suppliers": tpch.harmonic_ecc_landmarks_suppliers,
+        "betweenness_landmarks_suppliers": tpch.betweenness_landmarks_suppliers,
         "label_propagation_supplier_customer": tpch.label_propagation_supplier_customer,
         # temporal joins + windows (stages/temporal: as-of, range, hopping)
         "events_last_purchase_asof": tpch.events_last_purchase_asof,

@@ -493,6 +493,23 @@ def reciprocity_part_sequence(sf_dir: str):
     return pd.DataFrame({"reciprocity": _round_half_away(pd.Series([r]), 9)})
 
 
+def betweenness_landmarks_suppliers(sf_dir: str):
+    """Landmark (Brandes-subset) betweenness over the undirected
+    supplier-customer graph — the scale path for the reference's
+    small-graph betweenness_centrality (graph.py:378). Rows-only at the
+    driver gate (shortest-path COUNTING has no clean SQL form); exact
+    Brandes parity lives in tests/test_algos.py."""
+    from mercury_graph_ray.algos.betweenness import BetweennessLandmarks
+    from mercury_graph_ray.graph import Graph
+
+    b = BetweennessLandmarks(["s1", "s2", "c1"], n_parts=8).fit(
+        Graph(supplier_customer_edges(sf_dir).materialize())
+    )
+    df = b.betweenness_.to_pandas()
+    df["id"] = df["id"].astype(str)
+    return df.sort_values("id").reset_index(drop=True)[["id", "betweenness"]]
+
+
 def scc_heavy_part_sequence(sf_dir: str):
     """Strongly connected components of the l_quantity>=40 part-transition
     graph (the bowtie: one giant core + singleton tendrils). scc = min

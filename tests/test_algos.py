@@ -341,6 +341,86 @@ def test_bfs_harmonic_and_eccentricity_attributes(ray_session):
     assert ecc[200] == -1 and h[200] == 0.0
 
 
+def _brandes_subset_oracle(G, sources):
+    """Textbook Brandes (2001) dependency accumulation from a source
+    subset — the exact float oracle for BetweennessLandmarks."""
+    bc = {v: 0.0 for v in G}
+    for s in sources:
+        S, P = [], {v: [] for v in G}
+        sigma = {v: 0.0 for v in G}
+        D = {s: 0}
+        sigma[s] = 1.0
+        Q = [s]
+        while Q:
+            nxt = []
+            for v in Q:
+                S.append(v)
+            for v in Q:
+                for w in G[v]:
+                    if w not in D:
+                        D[w] = D[v] + 1
+                        if w not in nxt:
+                            nxt.append(w)
+                    if D.get(w) == D[v] + 1:
+                        sigma[w] += sigma[v]
+                        P[w].append(v)
+            Q = nxt
+        delta = {v: 0.0 for v in G}
+        for w in reversed(S):
+            for v in P[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+def test_betweenness_landmarks_brandes_parity(ray_session):
+    import networkx as nx
+
+    from mercury_graph_ray.algos.betweenness import BetweennessLandmarks
+
+    G = nx.erdos_renyi_graph(120, 0.05, seed=10)
+    G.add_edge(300, 301)  # unreachable component: delta stays 0
+    e = pd.DataFrame({"src": [u for u, v in G.edges], "dst": [v for u, v in G.edges]})
+    srcs = [0, 3, 7]
+    b = BetweennessLandmarks([str(s) for s in srcs], n_parts=4).fit(Graph(e))
+    got = b.betweenness_.to_pandas().set_index("id")["betweenness"]
+    want = _brandes_subset_oracle(G, srcs)
+    for v in G.nodes:
+        assert abs(got[v] - want[v]) < 1e-9, v
+    assert got[300] == 0.0 and got[301] == 0.0
+
+
+def test_betweenness_all_sources_is_2x_networkx(ray_session):
+    import networkx as nx
+
+    from mercury_graph_ray.algos.betweenness import BetweennessLandmarks
+
+    G = nx.erdos_renyi_graph(60, 0.08, seed=12)
+    e = pd.DataFrame({"src": [u for u, v in G.edges], "dst": [v for u, v in G.edges]})
+    # isolated vertices are not graph keys (edge-list ingest) and would
+    # contribute zero dependency as sources anyway
+    srcs = [str(v) for v in G.nodes if G.degree(v) > 0]
+    b = BetweennessLandmarks(srcs, n_parts=4).fit(Graph(e))
+    got = b.betweenness_.to_pandas().set_index("id")["betweenness"]
+    want = nx.betweenness_centrality(G, normalized=False)
+    for v in G.nodes:
+        if G.degree(v) > 0:
+            assert abs(got[v] - 2.0 * want[v]) < 1e-6, v
+
+
+def test_betweenness_star_exact(ray_session):
+    # star center lies on every leaf pair's unique shortest path:
+    # from source leaf 1, delta(center) = number of other leaves
+    from mercury_graph_ray.algos.betweenness import BetweennessLandmarks
+
+    e = pd.DataFrame({"src": [0, 0, 0, 0], "dst": [1, 2, 3, 4]})
+    b = BetweennessLandmarks(["1"], n_parts=2).fit(Graph(e))
+    got = b.betweenness_.to_pandas().set_index("id")["betweenness"]
+    assert got[0] == 3.0
+    assert got[1] == 0.0 and got[2] == 0.0
+
+
 def _path_edges(n: int) -> pd.DataFrame:
     return pd.DataFrame(
         {
