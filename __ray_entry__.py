@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity_heavy_parts": tpch.assortativity_heavy_parts,
         "linkpred_jaccard_heavy_parts": tpch.linkpred_jaccard_heavy_parts,
         "kcore3_heavy_parts": tpch.kcore3_heavy_parts,
+        "edge_support_heavy_parts": tpch.edge_support_heavy_parts,
         "reciprocity_part_sequence": tpch.reciprocity_part_sequence,
         "scc_heavy_part_sequence": tpch.scc_heavy_part_sequence,
         "pagerank_supplier_customer": tpch.pagerank_supplier_customer,
@@ -620,6 +621,39 @@ def oracle_sql() -> dict[str, str]:
             FROM scored ORDER BY j DESC, a, b LIMIT 20
         """,
         "kcore3_heavy_parts": _kcore_oracle(k=3, rounds=24),
+        # per-edge triangle support (common neighbors of the endpoints)
+        # and embeddedness = support / (deg_a + deg_b - 2 - support); the
+        # same wedge double-join as the link-prediction oracle, inner
+        # against the edge table instead of anti
+        "edge_support_heavy_parts": f"""
+            WITH pairs AS ({_HEAVY_PAIRS}),
+            sym AS (
+                SELECT a AS u, b AS v FROM pairs
+                UNION ALL
+                SELECT b AS u, a AS v FROM pairs
+            ),
+            deg AS (SELECT u AS id, count(*) AS deg FROM sym GROUP BY 1),
+            wed AS (
+                SELECT s1.v AS a, s2.v AS b, count(*) AS cn
+                FROM sym s1 JOIN sym s2
+                  ON s1.u = s2.u AND s1.v < s2.v
+                GROUP BY 1, 2
+            ),
+            j AS (
+                SELECT p.a, p.b, coalesce(w.cn, 0) AS support,
+                       da.deg AS dega, db.deg AS degb
+                FROM pairs p
+                LEFT JOIN wed w ON w.a = p.a AND w.b = p.b
+                JOIN deg da ON da.id = p.a
+                JOIN deg db ON db.id = p.b
+            )
+            SELECT a, b, CAST(support AS BIGINT) AS support,
+                   round(CASE WHEN dega + degb - 2 - support > 0
+                         THEN CAST(support AS DOUBLE)
+                              / (dega + degb - 2 - support)
+                         ELSE 0.0 END, 9) AS embeddedness
+            FROM j ORDER BY a, b
+        """,
         # reciprocity of the DISTINCT directed part-transition edge set
         # (nx.overall_reciprocity semantics); exact int counts, the same
         # CAST-to-double division as Graph.reciprocity

@@ -66,6 +66,71 @@ def _neighbor_pairs_in_group(group: dict) -> dict:
     return {"a": left, "b": right, "w": np.repeat(w, left_counts)}
 
 
+def _wedge_counts(canon, degs, p: int, nb: int, cap: int | None):
+    """(a, b, cn, adamic_adar) for every unordered pair with >=1 common
+    neighbor: symmetrize the canonical pairs, attach the center degree
+    with one hash join, enumerate ordered neighbor pairs per ``u % p``
+    partition with the grouped-arange kernel, and sum per (a, b).
+    Shared by LinkPrediction (anti-joined vs edges) and EdgeSupport
+    (inner-joined with edges)."""
+    from ray.data.aggregate import Sum
+
+    from mercury_graph_ray.stages.join import hash_join
+    from mercury_graph_ray.stages.util import ensure_schema, rename_cols
+
+    def _sym(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"u": pa.array(np.concatenate([a, b])), "v": pa.array(np.concatenate([b, a]))}
+        )
+
+    sym = canon.map_batches(_sym, batch_format="pyarrow")
+    du = ensure_schema(
+        rename_cols(degs, {"id": "u", "deg": "deg_u"}),
+        {"u": pa.int64(), "deg_u": pa.int64()},
+    )
+    adj = hash_join(sym, du, on=("u",), num_buckets=nb)
+
+    def _route(t: pa.Table) -> pa.Table:
+        u = t["u"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t["deg_u"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        if cap is not None:
+            keep = d <= cap
+            u, v, d = u[keep], v[keep], d[keep]
+        # deg_u >= 2 whenever a pair is emitted, so ln(deg_u) > 0
+        with np.errstate(divide="ignore"):
+            w = 1.0 / np.log(d)
+        return pa.table(
+            {
+                "u": pa.array(u),
+                "v": pa.array(v),
+                "w": pa.array(w, pa.float64()),
+                "part": pa.array(u % p),
+            }
+        )
+
+    routed = adj.map_batches(_route, batch_format="pyarrow")
+    wedges = ensure_schema(
+        routed.groupby("part").map_groups(_neighbor_pairs_in_group, batch_format="numpy"),
+        {"a": pa.int64(), "b": pa.int64(), "w": pa.float64()},
+    )
+
+    def _one(t: pa.Table) -> pa.Table:
+        return t.append_column("cn", pa.array(np.ones(t.num_rows, np.int64)))
+
+    cands = (
+        wedges.map_batches(_one, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("cn", alias_name="cn"), Sum("w", alias_name="adamic_adar"))
+    )
+    return ensure_schema(
+        cands,
+        {"a": pa.int64(), "b": pa.int64(), "cn": pa.int64(), "adamic_adar": pa.float64()},
+    )
+
+
 class LinkPrediction(BaseClass):
     """``LinkPrediction().fit(g)`` sets ``scores_``: a Dataset of every
     non-adjacent pair with ≥1 common neighbor — columns (a, b, cn,
@@ -84,62 +149,9 @@ class LinkPrediction(BaseClass):
         from mercury_graph_ray.stages.util import ensure_schema, rename_cols
 
         p = self.n_parts
-        cap = self.max_degree
         vd, canon, degs = simple_pairs(g)
         nb = max(2, p)
-
-        # symmetrize: each canonical pair contributes both directions
-        def _sym(t: pa.Table) -> pa.Table:
-            a = t["a"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-            b = t["b"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-            return pa.table(
-                {"u": pa.array(np.concatenate([a, b])), "v": pa.array(np.concatenate([b, a]))}
-            )
-
-        sym = canon.map_batches(_sym, batch_format="pyarrow")
-        du = ensure_schema(
-            rename_cols(degs, {"id": "u", "deg": "deg_u"}),
-            {"u": pa.int64(), "deg_u": pa.int64()},
-        )
-        adj = hash_join(sym, du, on=("u",), num_buckets=nb)
-
-        def _route(t: pa.Table) -> pa.Table:
-            u = t["u"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-            v = t["v"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
-            d = t["deg_u"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
-            if cap is not None:
-                keep = d <= cap
-                u, v, d = u[keep], v[keep], d[keep]
-            # deg_u >= 2 whenever a pair is emitted, so ln(deg_u) > 0
-            with np.errstate(divide="ignore"):
-                w = 1.0 / np.log(d)
-            return pa.table(
-                {
-                    "u": pa.array(u),
-                    "v": pa.array(v),
-                    "w": pa.array(w, pa.float64()),
-                    "part": pa.array(u % p),
-                }
-            )
-
-        routed = adj.map_batches(_route, batch_format="pyarrow")
-        wedges = ensure_schema(
-            routed.groupby("part").map_groups(_neighbor_pairs_in_group, batch_format="numpy"),
-            {"a": pa.int64(), "b": pa.int64(), "w": pa.float64()},
-        )
-
-        def _one(t: pa.Table) -> pa.Table:
-            return t.append_column("cn", pa.array(np.ones(t.num_rows, np.int64)))
-
-        cands = (
-            wedges.map_batches(_one, batch_format="pyarrow")
-            .groupby(["a", "b"])
-            .aggregate(Sum("cn", alias_name="cn"), Sum("w", alias_name="adamic_adar"))
-        )
-        cands = ensure_schema(
-            cands,
-            {"a": pa.int64(), "b": pa.int64(), "cn": pa.int64(), "adamic_adar": pa.float64()},
-        )
+        cands = _wedge_counts(canon, degs, p, nb, self.max_degree)
 
         # anti-join the existing edges: left-join a marker, keep nulls
         def _mark(t: pa.Table) -> pa.Table:
@@ -199,6 +211,74 @@ class LinkPrediction(BaseClass):
             .limit(k)
             .to_pandas()
         )
+
+
+class EdgeSupport(BaseClass):
+    """Per-EDGE triangle support and embeddedness over the simple
+    undirected graph — the k-truss building block and the classic
+    tie-strength signal (beyond-ref, SURVEY.md §2.11).
+
+    ``fit(g)`` sets ``support_``: a Dataset with one row per canonical
+    (a < b) simple edge — columns (a, b, support, embeddedness) where
+    ``support = |Γa ∩ Γb|`` (triangles through the edge) and
+    ``embeddedness = support / (deg_a + deg_b - 2 - support)`` (Jaccard
+    of the endpoint neighborhoods minus the endpoints themselves; 0.0
+    when that union is empty — two mutually-exclusive degree-1
+    endpoints). Exact small-int arithmetic, bit-identical to the SQL
+    oracle's.
+
+    Dataflow: the same wedge enumeration as LinkPrediction (shared
+    ``simple_pairs`` + grouped-arange kernel), then an INNER join of the
+    wedge-count table with the edge table (where LinkPrediction
+    anti-joins), plus the two degree joins."""
+
+    def __init__(self, n_parts: int | None = None, max_degree: int | None = None):
+        self.n_parts = n_parts or DEFAULT_N_PARTS
+        self.max_degree = max_degree
+
+    def fit(self, g) -> "EdgeSupport":
+        from ray.data.aggregate import Sum
+
+        from mercury_graph_ray.stages.join import hash_join
+        from mercury_graph_ray.stages.util import ensure_schema, rename_cols
+
+        p = self.n_parts
+        nb = max(2, p)
+        vd, canon, degs = simple_pairs(g)
+        wedges = _wedge_counts(canon, degs, p, nb, self.max_degree)
+        # INNER-ish: keep every edge, null support -> 0
+        j = hash_join(canon, wedges, on=("a", "b"), how="left", num_buckets=nb)
+        da = ensure_schema(
+            rename_cols(degs, {"id": "a", "deg": "deg_a"}),
+            {"a": pa.int64(), "deg_a": pa.int64()},
+        )
+        db = ensure_schema(
+            rename_cols(degs, {"id": "b", "deg": "deg_b"}),
+            {"b": pa.int64(), "deg_b": pa.int64()},
+        )
+        j2 = hash_join(hash_join(j, da, on=("a",), num_buckets=nb), db, on=("b",), num_buckets=nb)
+
+        def _score(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            cn = (
+                pc.fill_null(t["cn"].combine_chunks().cast(pa.int64()), 0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            x = t["deg_a"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+            y = t["deg_b"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+            denom = x + y - 2.0 - cn
+            with np.errstate(divide="ignore", invalid="ignore"):
+                emb = np.where(denom > 0, cn / np.where(denom > 0, denom, 1.0), 0.0)
+            out = t.select(["a", "b"])
+            out = out.append_column("support", pa.array(cn, pa.int64()))
+            return out.append_column("embeddedness", pa.array(emb, pa.float64()))
+
+        scored = j2.map_batches(_score, batch_format="pyarrow")
+        out = vd.decode(scored, col="a")
+        self.support_ = vd.decode(out, col="b").materialize()
+        return self
 
 
 class DegreeAssortativity(BaseClass):

@@ -410,6 +410,19 @@ def linkpred_jaccard_heavy_parts(sf_dir: str):
     return df
 
 
+def edge_support_heavy_parts(sf_dir: str):
+    """Per-edge triangle support + embeddedness on the heavy part graph
+    (algos/linkpred.EdgeSupport — exact small-int arithmetic vs the
+    wedge-join SQL oracle)."""
+    from mercury_graph_ray.algos.linkpred import EdgeSupport
+    from mercury_graph_ray.pipelines.training_data import _round_half_away
+
+    es = EdgeSupport(n_parts=8).fit(_heavy_part_graph(sf_dir))
+    df = es.support_.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    df["embeddedness"] = _round_half_away(df["embeddedness"], 9)
+    return df[["a", "b", "support", "embeddedness"]]
+
+
 def kcore3_heavy_parts(sf_dir: str):
     """Vertex set of the 3-core of the heavy part graph (6 peel rounds
     at sf0.01; the SQL oracle unrolls 24 — assert n_iter_ stays under

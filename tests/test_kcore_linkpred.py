@@ -168,3 +168,31 @@ def test_kcore_checkpoint_resume(ray_session, tmp_path):
                     checkpoint_every=1).fit(Graph(df))
     assert resumed.n_iter_ == full.n_iter_  # continued the same cascade
     assert sorted(r["id"] for r in resumed.core_.take_all()) == want
+
+
+def test_edge_support_nx_parity(ray_session):
+    """support = |common neighbors of the endpoints| per simple edge;
+    embeddedness = the endpoint-neighborhood Jaccard minus endpoints."""
+    from mercury_graph_ray.algos.linkpred import EdgeSupport
+
+    G, df = _gnm(120, 420, seed=13)
+    es = EdgeSupport(n_parts=4).fit(Graph(df))
+    got = es.support_.to_pandas().set_index(["a", "b"])
+    assert len(got) == G.number_of_edges()
+    for (a, b), row in got.iterrows():
+        cn = len(list(nx.common_neighbors(G, a, b)))
+        assert row["support"] == cn, (a, b)
+        denom = G.degree(a) + G.degree(b) - 2 - cn
+        want = cn / denom if denom > 0 else 0.0
+        assert abs(row["embeddedness"] - want) < 1e-12, (a, b)
+
+
+def test_edge_support_isolated_edge_zero(ray_session):
+    # a lone edge: no common neighbors, empty neighborhood union -> 0.0
+    from mercury_graph_ray.algos.linkpred import EdgeSupport
+
+    df = pd.DataFrame({"src": [1], "dst": [2]})
+    es = EdgeSupport(n_parts=2).fit(Graph(df))
+    out = es.support_.to_pandas()
+    assert len(out) == 1
+    assert out["support"].iloc[0] == 0 and out["embeddedness"].iloc[0] == 0.0
