@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkpred_jaccard_heavy_parts": tpch.linkpred_jaccard_heavy_parts,
         "kcore3_heavy_parts": tpch.kcore3_heavy_parts,
         "edge_support_heavy_parts": tpch.edge_support_heavy_parts,
+        "ktruss4_heavy_parts": tpch.ktruss4_heavy_parts,
         "reciprocity_part_sequence": tpch.reciprocity_part_sequence,
         "scc_heavy_part_sequence": tpch.scc_heavy_part_sequence,
         "pagerank_supplier_customer": tpch.pagerank_supplier_customer,
@@ -413,6 +414,37 @@ def _kcore_oracle(k: int = 3, rounds: int = 24) -> str:
     """
 
 
+def _ktruss_oracle(k: int = 4, rounds: int = 6) -> str:
+    """Fixed-k truss by unrolled simultaneous-removal sweeps: each step
+    keeps the edges whose wedge support within the previous edge set is
+    >= k-2. The heavy part graph converges in 3 sweeps at sf0.01 (the
+    Ray query asserts n_iter_ <= 5, so 6 unrolls is convergence with
+    margin)."""
+    thr = k - 2
+    steps = [f"t0 AS MATERIALIZED ({_HEAVY_PAIRS})"]
+    for i in range(1, rounds + 1):
+        prev = f"t{i - 1}"
+        steps.append(
+            f"""t{i} AS MATERIALIZED (
+                SELECT p.a, p.b FROM {prev} p
+                LEFT JOIN (
+                    SELECT s1.v AS a, s2.v AS b, count(*) AS cn
+                    FROM (SELECT a AS u, b AS v FROM {prev}
+                          UNION ALL SELECT b AS u, a AS v FROM {prev}) s1
+                    JOIN (SELECT a AS u, b AS v FROM {prev}
+                          UNION ALL SELECT b AS u, a AS v FROM {prev}) s2
+                      ON s1.u = s2.u AND s1.v < s2.v
+                    GROUP BY 1, 2
+                ) w ON w.a = p.a AND w.b = p.b
+                WHERE coalesce(w.cn, 0) >= {thr}
+            )"""
+        )
+    return f"""
+        WITH {', '.join(steps)}
+        SELECT a, b FROM t{rounds} ORDER BY a, b
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per query (column names aligned with the
     Ray pipelines). Seeded/hashed or convergence-gated iterative-float
@@ -621,6 +653,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored ORDER BY j DESC, a, b LIMIT 20
         """,
         "kcore3_heavy_parts": _kcore_oracle(k=3, rounds=24),
+        "ktruss4_heavy_parts": _ktruss_oracle(k=4, rounds=6),
         # per-edge triangle support (common neighbors of the endpoints)
         # and embeddedness = support / (deg_a + deg_b - 2 - support); the
         # same wedge double-join as the link-prediction oracle, inner

@@ -51,6 +51,25 @@ def prepare(g, *, symmetrize: bool = False, n_parts: int | None = None, workdir:
     return vd, gas
 
 
+def endpoint_degrees(pairs):
+    """(id, deg) over a canonical (a, b) pair Dataset — each endpoint
+    counted once per pair (the simple-graph degree)."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    def _endpoints(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table({"id": pa.array(np.concatenate([a, b]))})
+
+    return (
+        pairs.map_batches(_endpoints, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Count(alias_name="deg"))
+    )
+
+
 def simple_pairs(g, *, cache: bool = True):
     """(VertexDict, canonical simple-pair Dataset, degree Dataset).
 
@@ -81,19 +100,7 @@ def simple_pairs(g, *, cache: bool = True):
         .materialize()
     )
 
-    def _endpoints(t: pa.Table) -> pa.Table:
-        import numpy as np
-
-        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
-        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
-        return pa.table({"id": pa.array(np.concatenate([a, b]))})
-
-    degs = (
-        canon.map_batches(_endpoints, batch_format="pyarrow")
-        .groupby("id")
-        .aggregate(Count(alias_name="deg"))
-        .materialize()
-    )
+    degs = endpoint_degrees(canon).materialize()
     out = (vd, canon, degs)
     if cache:
         g._cache["simple_pairs"] = out

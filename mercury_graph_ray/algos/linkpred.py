@@ -66,13 +66,18 @@ def _neighbor_pairs_in_group(group: dict) -> dict:
     return {"a": left, "b": right, "w": np.repeat(w, left_counts)}
 
 
-def _wedge_counts(canon, degs, p: int, nb: int, cap: int | None):
+def _wedge_counts(canon, degs, p: int, nb: int, cap: int | None, *,
+                  need_weights: bool = True):
     """(a, b, cn, adamic_adar) for every unordered pair with >=1 common
     neighbor: symmetrize the canonical pairs, attach the center degree
     with one hash join, enumerate ordered neighbor pairs per ``u % p``
     partition with the grouped-arange kernel, and sum per (a, b).
-    Shared by LinkPrediction (anti-joined vs edges) and EdgeSupport
-    (inner-joined with edges)."""
+    Shared by LinkPrediction (anti-joined vs edges), EdgeSupport
+    (inner-joined with edges) and KTruss (per-sweep support recount).
+
+    ``need_weights=False`` skips the degree join and the hub cap —
+    adamic_adar degenerates to cn — saving two shuffles per call for
+    consumers that only need the counts (the truss peel loop)."""
     from ray.data.aggregate import Sum
 
     from mercury_graph_ray.stages.join import hash_join
@@ -86,6 +91,20 @@ def _wedge_counts(canon, degs, p: int, nb: int, cap: int | None):
         )
 
     sym = canon.map_batches(_sym, batch_format="pyarrow")
+    if not need_weights and cap is None:
+        def _route_plain(t: pa.Table) -> pa.Table:
+            u = t["u"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "u": t["u"],
+                    "v": t["v"],
+                    "w": pa.array(np.ones(t.num_rows, np.float64)),
+                    "part": pa.array(u % p),
+                }
+            )
+
+        routed = sym.map_batches(_route_plain, batch_format="pyarrow")
+        return _sum_wedges(routed, p, nb)
     du = ensure_schema(
         rename_cols(degs, {"id": "u", "deg": "deg_u"}),
         {"u": pa.int64(), "deg_u": pa.int64()},
@@ -112,6 +131,14 @@ def _wedge_counts(canon, degs, p: int, nb: int, cap: int | None):
         )
 
     routed = adj.map_batches(_route, batch_format="pyarrow")
+    return _sum_wedges(routed, p, nb)
+
+
+def _sum_wedges(routed, p: int, nb: int):
+    from ray.data.aggregate import Sum
+
+    from mercury_graph_ray.stages.util import ensure_schema
+
     wedges = ensure_schema(
         routed.groupby("part").map_groups(_neighbor_pairs_in_group, batch_format="numpy"),
         {"a": pa.int64(), "b": pa.int64(), "w": pa.float64()},

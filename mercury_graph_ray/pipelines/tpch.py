@@ -423,6 +423,17 @@ def edge_support_heavy_parts(sf_dir: str):
     return df[["a", "b", "support", "embeddedness"]]
 
 
+def ktruss4_heavy_parts(sf_dir: str):
+    """Edge set of the 4-truss of the heavy part graph (3 sweeps at
+    sf0.01; the SQL oracle unrolls 6 — assert n_iter_ under that margin
+    so oracle drift is loud)."""
+    from mercury_graph_ray.algos.ktruss import KTruss
+
+    kt = KTruss(4, n_parts=8).fit(_heavy_part_graph(sf_dir))
+    assert kt.n_iter_ <= 5, f"peel sweeps {kt.n_iter_} approach the oracle's 6-step unroll"
+    return kt.edges_.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def kcore3_heavy_parts(sf_dir: str):
     """Vertex set of the 3-core of the heavy part graph (6 peel rounds
     at sf0.01; the SQL oracle unrolls 24 — assert n_iter_ stays under

@@ -196,3 +196,33 @@ def test_edge_support_isolated_edge_zero(ray_session):
     out = es.support_.to_pandas()
     assert len(out) == 1
     assert out["support"].iloc[0] == 0 and out["embeddedness"].iloc[0] == 0.0
+
+
+def test_ktruss_nx_parity(ray_session):
+    from mercury_graph_ray.algos.ktruss import KTruss
+
+    G, df = _gnm(150, 600, seed=7)
+    g = Graph(df)
+    for k in (3, 4):
+        kt = KTruss(k, n_parts=4).fit(g)
+        got = (
+            sorted(map(tuple, kt.edges_.to_pandas()[["a", "b"]].to_numpy()))
+            if kt.edges_.count()
+            else []
+        )
+        want = sorted(tuple(sorted(e)) for e in nx.k_truss(G, k).edges())
+        assert got == want, f"k={k}"
+        assert kt.n_iter_ >= 1
+
+
+def test_ktruss_triangle_free_is_empty(ray_session):
+    # a tree has no triangles: every edge has support 0, the 3-truss dies
+    # in one sweep (+ the certifying one)
+    from mercury_graph_ray.algos.ktruss import KTruss
+
+    df = pd.DataFrame({"src": [0, 0, 1, 1, 2], "dst": [1, 2, 3, 4, 5]})
+    kt = KTruss(3, n_parts=2).fit(Graph(df))
+    assert kt.edges_.count() == 0
+    assert kt.n_iter_ <= 2
+    with pytest.raises(ValueError):
+        KTruss(1)
