@@ -226,3 +226,21 @@ def test_ktruss_triangle_free_is_empty(ray_session):
     assert kt.n_iter_ <= 2
     with pytest.raises(ValueError):
         KTruss(1)
+
+
+def test_kcore_and_truss_parallelism_invariance(ray_session):
+    from mercury_graph_ray.algos.ktruss import KTruss
+
+    G, df = _gnm(150, 500, seed=29)
+    cores, trusses = [], []
+    for p in (2, 7):
+        g = Graph(df)  # fresh facade: caches are per-instance
+        cores.append(sorted(r["id"] for r in KCore(3, n_parts=p).fit(g).core_.take_all()))
+        kt = KTruss(3, n_parts=p).fit(g)
+        trusses.append(
+            sorted(map(tuple, kt.edges_.to_pandas()[["a", "b"]].to_numpy()))
+            if kt.edges_.count()
+            else []
+        )
+    assert cores[0] == cores[1]
+    assert trusses[0] == trusses[1]

@@ -121,3 +121,16 @@ def test_scc_checkpoint_resume(ray_session, tmp_path):
     assert resumed.n_phases_ == 2  # continued from the phase-1 checkpoint
     got = resumed.components_.to_pandas().sort_values("id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_scc_parallelism_invariance(ray_session):
+    # labels are a pure function of the graph, not of the partitioning
+    G = nx.gnp_random_graph(120, 0.02, seed=21, directed=True)
+    df = pd.DataFrame([(u, v) for u, v in G.edges()], columns=["src", "dst"])
+    outs = []
+    for p in (2, 7):
+        s = StronglyConnectedComponents(n_parts=p).fit(Graph(df))
+        outs.append(
+            s.components_.to_pandas().sort_values("id").reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
