@@ -378,6 +378,36 @@ class Graph:
 
         return ConnectedComponents(**kw).fit(self).components_
 
+    def strongly_connected_components(self, **kw):
+        """(id, scc, scc_size) — directed graphs only (algos/scc.py)."""
+        from mercury_graph_ray.algos.scc import StronglyConnectedComponents
+
+        return StronglyConnectedComponents(**kw).fit(self).components_
+
+    def k_core(self, k: int, **kw):
+        """Vertex Dataset of the k-core (algos/kcore.py, BSP peeling)."""
+        from mercury_graph_ray.algos.kcore import KCore
+
+        return KCore(k, **kw).fit(self).core_
+
+    def k_truss(self, k: int, **kw):
+        """Canonical edge Dataset of the k-truss (algos/ktruss.py)."""
+        from mercury_graph_ray.algos.ktruss import KTruss
+
+        return KTruss(k, **kw).fit(self).edges_
+
+    def link_prediction(self, **kw):
+        """Non-adjacent pair scores (cn / jaccard / adamic_adar) —
+        the fitted LinkPrediction object, for ``.top(k, metric)``."""
+        from mercury_graph_ray.algos.linkpred import LinkPrediction
+
+        return LinkPrediction(**kw).fit(self)
+
+    def degree_assortativity(self, **kw) -> float:
+        from mercury_graph_ray.algos.linkpred import DegreeAssortativity
+
+        return DegreeAssortativity(**kw).fit(self).assortativity_
+
     def to_networkx(self):
         """Collect to a networkx graph — explicitly a small-graph path,
         mirroring the reference's networkx representation (graph.py:242-254).

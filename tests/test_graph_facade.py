@@ -276,3 +276,34 @@ def test_reciprocity_extremes(ray_session):
     assert Graph(one_way).reciprocity() == 0.0
     mutual = pd.DataFrame({"src": [1, 2, 2, 3], "dst": [2, 1, 3, 2]})
     assert Graph(mutual).reciprocity() == 1.0
+
+
+def test_facade_subgraph_algorithm_methods(ray_session):
+    """The one-call facade wrappers dispatch to the fitted attributes."""
+    import networkx as nx
+
+    G = nx.gnm_random_graph(60, 180, seed=3)
+    df = pd.DataFrame([(u, v) for u, v in G.edges()], columns=["src", "dst"])
+    g = Graph(df)
+    core = sorted(r["id"] for r in g.k_core(3, n_parts=2).take_all())
+    assert core == sorted(nx.k_core(G, 3).nodes())
+    truss = g.k_truss(3, n_parts=2)
+    assert truss.count() == nx.k_truss(G, 3).number_of_edges()
+    lp = g.link_prediction(n_parts=2)
+    assert len(lp.top(5)) == 5
+    assert abs(
+        g.degree_assortativity(n_parts=2)
+        - nx.degree_assortativity_coefficient(G)
+    ) < 1e-9
+
+    D = nx.gnp_random_graph(40, 0.08, seed=5, directed=True)
+    ddf = pd.DataFrame([(u, v) for u, v in D.edges()], columns=["src", "dst"])
+    scc = Graph(ddf).strongly_connected_components(n_parts=2).to_pandas()
+    want = {}
+    for comp in nx.strongly_connected_components(D):
+        m = min(comp)
+        for v in comp:
+            want[v] = m
+    assert dict(zip(scc["id"], scc["scc"])) == {
+        v: m for v, m in want.items() if v in set(scc["id"])
+    }
