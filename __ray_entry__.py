@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore3_heavy_parts": tpch.kcore3_heavy_parts,
         "edge_support_heavy_parts": tpch.edge_support_heavy_parts,
         "ktruss4_heavy_parts": tpch.ktruss4_heavy_parts,
+        "rich_club_heavy_parts": tpch.rich_club_heavy_parts,
         "reciprocity_part_sequence": tpch.reciprocity_part_sequence,
         "scc_heavy_part_sequence": tpch.scc_heavy_part_sequence,
         "pagerank_supplier_customer": tpch.pagerank_supplier_customer,
@@ -654,6 +655,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore3_heavy_parts": _kcore_oracle(k=3, rounds=24),
         "ktruss4_heavy_parts": _ktruss_oracle(k=4, rounds=6),
+        # rich-club: phi(k) = 2*E_k / (N_k*(N_k-1)) over degree
+        # thresholds, N_k = vertices with deg > k, E_k = edges with both
+        # endpoint degrees > k; k = 0..max_deg-1 where N_k >= 2
+        "rich_club_heavy_parts": f"""
+            WITH pairs AS ({_HEAVY_PAIRS}),
+            deg AS (
+                SELECT id, count(*) AS deg FROM (
+                    SELECT a AS id FROM pairs UNION ALL SELECT b FROM pairs
+                ) GROUP BY 1
+            ),
+            ks AS (
+                SELECT CAST(unnest(range(0, (SELECT max(deg) FROM deg)))
+                            AS BIGINT) AS k
+            ),
+            nk AS (
+                SELECT ks.k, count(*) AS n_nodes
+                FROM ks JOIN deg d ON d.deg > ks.k GROUP BY 1
+            ),
+            md AS (
+                SELECT least(da.deg, db.deg) AS m
+                FROM pairs p
+                JOIN deg da ON da.id = p.a
+                JOIN deg db ON db.id = p.b
+            ),
+            ek AS (
+                SELECT ks.k, count(*) AS n_edges
+                FROM ks JOIN md ON md.m > ks.k GROUP BY 1
+            )
+            SELECT nk.k, nk.n_nodes,
+                   coalesce(ek.n_edges, 0) AS n_edges,
+                   round(2.0 * coalesce(ek.n_edges, 0)
+                         / (nk.n_nodes * (nk.n_nodes - 1.0)), 9) AS rich_club
+            FROM nk LEFT JOIN ek ON ek.k = nk.k
+            WHERE nk.n_nodes >= 2
+            ORDER BY nk.k
+        """,
         # per-edge triangle support (common neighbors of the endpoints)
         # and embeddedness = support / (deg_a + deg_b - 2 - support); the
         # same wedge double-join as the link-prediction oracle, inner

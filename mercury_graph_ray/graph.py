@@ -367,6 +367,84 @@ class Graph:
             return float("nan")
         return float(n_recip) / float(n_edges)
 
+    def rich_club(self, n_parts: int | None = None) -> "pd.DataFrame":
+        """Rich-club coefficient of the simple undirected graph —
+        ``phi(k) = 2·E_k / (N_k·(N_k−1))`` where N_k = vertices with
+        degree > k and E_k = edges with both endpoint degrees > k
+        (nx.rich_club_coefficient(normalized=False) semantics; rows for
+        k = 0..max_degree−1 with N_k ≥ 2). Beyond-ref, SURVEY.md §2.11 —
+        the classic "do hubs link to hubs" web-graph statistic.
+
+        Scale shape: both inputs are ADDITIVE histograms — a per-batch
+        degree bincount and a per-batch bincount of min(deg_a, deg_b)
+        over the edge table after two degree joins — so only
+        max_degree-length int arrays reach the driver; N_k and E_k are
+        suffix sums of those."""
+        import numpy as np
+        import pandas as pd
+
+        from mercury_graph_ray.algos.common import DEFAULT_N_PARTS, simple_pairs
+        from mercury_graph_ray.stages.join import hash_join
+        from mercury_graph_ray.stages.util import ensure_schema, rename_cols
+
+        p = n_parts or DEFAULT_N_PARTS
+        nb = max(2, p)
+        _, canon, degs = simple_pairs(self)
+
+        def _deg_hist(t: pa.Table) -> pa.Table:
+            d = t["deg"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            h = np.bincount(d)
+            return pa.table({"k": pa.array(np.arange(len(h), dtype=np.int64)),
+                             "n": pa.array(h)})
+
+        deg_hist = (
+            degs.map_batches(_deg_hist, batch_format="pyarrow")
+            .groupby("k")
+            .sum("n")
+            .to_pandas()
+        )
+        da = ensure_schema(
+            rename_cols(degs, {"id": "a", "deg": "deg_a"}),
+            {"a": pa.int64(), "deg_a": pa.int64()},
+        )
+        db = ensure_schema(
+            rename_cols(degs, {"id": "b", "deg": "deg_b"}),
+            {"b": pa.int64(), "deg_b": pa.int64()},
+        )
+        j = hash_join(hash_join(canon, da, on=("a",), num_buckets=nb), db,
+                      on=("b",), num_buckets=nb)
+
+        def _edge_hist(t: pa.Table) -> pa.Table:
+            x = t["deg_a"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            y = t["deg_b"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            h = np.bincount(np.minimum(x, y))
+            return pa.table({"k": pa.array(np.arange(len(h), dtype=np.int64)),
+                             "n": pa.array(h)})
+
+        edge_hist = (
+            j.map_batches(_edge_hist, batch_format="pyarrow")
+            .groupby("k")
+            .sum("n")
+            .to_pandas()
+        )
+        max_deg = int(deg_hist["k"].max()) if len(deg_hist) else 0
+        dn = np.zeros(max_deg + 1, np.int64)
+        dn[deg_hist["k"].to_numpy()] = deg_hist["sum(n)"].to_numpy()
+        en = np.zeros(max_deg + 1, np.int64)
+        if len(edge_hist):
+            en[edge_hist["k"].to_numpy()] = edge_hist["sum(n)"].to_numpy()
+        # N_k = #deg > k, E_k = #edges min_deg > k: reversed-cumsum suffixes
+        n_gt = np.concatenate([np.cumsum(dn[::-1])[::-1][1:], [0]])
+        e_gt = np.concatenate([np.cumsum(en[::-1])[::-1][1:], [0]])
+        ks = np.arange(max_deg, dtype=np.int64)
+        nk, ek = n_gt[ks], e_gt[ks]
+        keep = nk >= 2
+        phi = 2.0 * ek[keep] / (nk[keep] * (nk[keep] - 1.0))
+        return pd.DataFrame(
+            {"k": ks[keep], "n_nodes": nk[keep], "n_edges": ek[keep],
+             "rich_club": phi}
+        )
+
     # ---------------------------------------------------------- algorithms
     def pagerank(self, **kw):
         from mercury_graph_ray.algos.pagerank import PageRank

@@ -423,6 +423,22 @@ def edge_support_heavy_parts(sf_dir: str):
     return df[["a", "b", "support", "embeddedness"]]
 
 
+def rich_club_heavy_parts(sf_dir: str):
+    """Rich-club coefficient per degree threshold on the heavy part
+    graph (Graph.rich_club — additive histograms, exact int suffix sums
+    vs the SQL oracle)."""
+    from mercury_graph_ray.graph import Graph
+    from mercury_graph_ray.pipelines.training_data import _round_half_away
+
+    df = Graph(
+        part_cooccurrence_edges(sf_dir, min_quantity=45)
+        .rename_columns({"a": "src", "b": "dst"})
+        .materialize()
+    ).rich_club(n_parts=8)
+    df["rich_club"] = _round_half_away(df["rich_club"], 9)
+    return df.sort_values("k").reset_index(drop=True)
+
+
 def ktruss4_heavy_parts(sf_dir: str):
     """Edge set of the 4-truss of the heavy part graph (3 sweeps at
     sf0.01; the SQL oracle unrolls 6 — assert n_iter_ under that margin

@@ -307,3 +307,18 @@ def test_facade_subgraph_algorithm_methods(ray_session):
     assert dict(zip(scc["id"], scc["scc"])) == {
         v: m for v, m in want.items() if v in set(scc["id"])
     }
+
+
+def test_rich_club_nx_parity(ray_session):
+    """phi(k) matches nx.rich_club_coefficient(normalized=False) on the
+    exact key set (k = 0..max_deg-1 with N_k >= 2)."""
+    import networkx as nx
+
+    G = nx.gnm_random_graph(150, 500, seed=8)
+    df = pd.DataFrame([(u, v) for u, v in G.edges()], columns=["src", "dst"])
+    rc = Graph(df).rich_club(n_parts=4).set_index("k")
+    want = nx.rich_club_coefficient(G, normalized=False)
+    assert set(rc.index) == set(want)
+    for k, phi in want.items():
+        assert abs(rc.loc[k, "rich_club"] - phi) < 1e-12, k
+        assert rc.loc[k, "n_nodes"] == sum(1 for _, d in G.degree() if d > k)
