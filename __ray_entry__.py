@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_support_heavy_parts": tpch.edge_support_heavy_parts,
         "ktruss4_heavy_parts": tpch.ktruss4_heavy_parts,
         "rich_club_heavy_parts": tpch.rich_club_heavy_parts,
+        "transitivity_heavy_parts": tpch.transitivity_heavy_parts,
         "reciprocity_part_sequence": tpch.reciprocity_part_sequence,
         "scc_heavy_part_sequence": tpch.scc_heavy_part_sequence,
         "pagerank_supplier_customer": tpch.pagerank_supplier_customer,
@@ -655,6 +656,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore3_heavy_parts": _kcore_oracle(k=3, rounds=24),
         "ktruss4_heavy_parts": _ktruss_oracle(k=4, rounds=6),
+        # transitivity = 3 * triangles / wedges on the heavy part graph;
+        # same triple-join triangle count as the clustering oracle, wedge
+        # count from the degree table
+        "transitivity_heavy_parts": f"""
+            WITH pairs AS ({_HEAVY_PAIRS}),
+            deg AS (
+                SELECT id, count(*) AS deg FROM (
+                    SELECT a AS id FROM pairs UNION ALL SELECT b FROM pairs
+                ) GROUP BY 1
+            ),
+            tri AS (
+                SELECT count(*) AS t
+                FROM pairs e1
+                JOIN pairs e2 ON e1.b = e2.a
+                JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            wed AS (SELECT sum(deg * (deg - 1) // 2) AS w FROM deg)
+            SELECT round(3.0 * CAST(t AS DOUBLE) / CAST(w AS DOUBLE), 9)
+                   AS transitivity
+            FROM tri, wed
+        """,
         # rich-club: phi(k) = 2*E_k / (N_k*(N_k-1)) over degree
         # thresholds, N_k = vertices with deg > k, E_k = edges with both
         # endpoint degrees > k; k = 0..max_deg-1 where N_k >= 2

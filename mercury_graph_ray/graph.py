@@ -445,6 +445,33 @@ class Graph:
              "rich_club": phi}
         )
 
+    def transitivity(self, n_parts: int | None = None) -> float:
+        """Global clustering coefficient of the simple undirected graph:
+        ``3·triangles / wedges`` with wedges = Σ deg·(deg−1)/2
+        (nx.transitivity semantics; 0.0 on a wedge-free graph).
+        Triangle total from TriangleCount (shared cached simple_pairs),
+        wedge count as a per-batch int64 partial sum — exact ints, one
+        double division."""
+        import numpy as np
+
+        from mercury_graph_ray.algos.common import DEFAULT_N_PARTS, simple_pairs
+        from mercury_graph_ray.algos.triangles import TriangleCount
+
+        p = n_parts or DEFAULT_N_PARTS
+        _, _, degs = simple_pairs(self)
+
+        def _wedge_partial(t: pa.Table) -> pa.Table:
+            d = t["deg"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"w": pa.array([int((d * (d - 1) // 2).sum())], pa.int64())})
+
+        wedges = int(
+            degs.map_batches(_wedge_partial, batch_format="pyarrow").sum("w") or 0
+        )
+        if wedges == 0:
+            return 0.0
+        tc = TriangleCount(n_parts=p).fit(self)
+        return 3.0 * float(int(tc.total_)) / float(wedges)
+
     # ---------------------------------------------------------- algorithms
     def pagerank(self, **kw):
         from mercury_graph_ray.algos.pagerank import PageRank

@@ -423,6 +423,15 @@ def edge_support_heavy_parts(sf_dir: str):
     return df[["a", "b", "support", "embeddedness"]]
 
 
+def transitivity_heavy_parts(sf_dir: str):
+    """Global clustering coefficient (3·triangles / wedges) of the heavy
+    part graph — one row, exact int counts, one double division."""
+    from mercury_graph_ray.pipelines.training_data import _round_half_away
+
+    t = _heavy_part_graph(sf_dir).transitivity(n_parts=8)
+    return pd.DataFrame({"transitivity": _round_half_away(pd.Series([t]), 9)})
+
+
 def rich_club_heavy_parts(sf_dir: str):
     """Rich-club coefficient per degree threshold on the heavy part
     graph (Graph.rich_club — additive histograms, exact int suffix sums

@@ -322,3 +322,16 @@ def test_rich_club_nx_parity(ray_session):
     for k, phi in want.items():
         assert abs(rc.loc[k, "rich_club"] - phi) < 1e-12, k
         assert rc.loc[k, "n_nodes"] == sum(1 for _, d in G.degree() if d > k)
+
+
+def test_transitivity_nx_parity(ray_session):
+    import networkx as nx
+
+    for seed, n, m in [(8, 150, 500), (3, 60, 90)]:
+        G = nx.gnm_random_graph(n, m, seed=seed)
+        df = pd.DataFrame([(u, v) for u, v in G.edges()], columns=["src", "dst"])
+        got = Graph(df).transitivity(n_parts=4)
+        assert abs(got - nx.transitivity(G)) < 1e-12
+    # wedge-free graph (perfect matching): 0.0 like nx
+    df = pd.DataFrame({"src": [0, 2, 4], "dst": [1, 3, 5]})
+    assert Graph(df).transitivity(n_parts=2) == 0.0
