@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity_heavy_parts": tpch.assortativity_heavy_parts,
         "linkpred_jaccard_heavy_parts": tpch.linkpred_jaccard_heavy_parts,
         "kcore3_heavy_parts": tpch.kcore3_heavy_parts,
+        "core_numbers_heavy_parts": tpch.core_numbers_heavy_parts,
         "edge_support_heavy_parts": tpch.edge_support_heavy_parts,
         "ktruss4_heavy_parts": tpch.ktruss4_heavy_parts,
         "rich_club_heavy_parts": tpch.rich_club_heavy_parts,
@@ -387,18 +388,14 @@ _HEAVY_PAIRS = """
 """
 
 
-def _kcore_oracle(k: int = 3, rounds: int = 24) -> str:
-    """Fixed-k core by unrolled peeling: each step keeps the pairs whose
-    BOTH endpoints have degree >= k in the previous step's edge set. The
-    peel reaches its fixpoint in ~6 rounds at sf0.01 (the Ray query
-    asserts n_iter_ <= 20, so 24 unrolls is convergence with margin);
-    at the fixpoint the distinct endpoints ARE the k-core vertex set
-    (every endpoint has degree >= k by construction)."""
-    steps = [f"p0 AS MATERIALIZED ({_HEAVY_PAIRS})"]
+def _kcore_steps(k: int, rounds: int, prefix: str) -> list[str]:
+    """Unrolled peel chain: step i keeps the pairs whose BOTH endpoints
+    have degree >= k in step i-1's edge set."""
+    steps = [f"{prefix}0 AS MATERIALIZED ({_HEAVY_PAIRS})"]
     for i in range(1, rounds + 1):
-        prev = f"p{i - 1}"
+        prev = f"{prefix}{i - 1}"
         steps.append(
-            f"""p{i} AS MATERIALIZED (
+            f"""{prefix}{i} AS MATERIALIZED (
                 SELECT a, b FROM {prev}
                 WHERE a IN (SELECT id FROM (SELECT a AS id FROM {prev}
                                             UNION ALL SELECT b FROM {prev})
@@ -408,11 +405,43 @@ def _kcore_oracle(k: int = 3, rounds: int = 24) -> str:
                             GROUP BY 1 HAVING count(*) >= {k})
             )"""
         )
+    return steps
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 24) -> str:
+    """Fixed-k core by unrolled peeling. The peel reaches its fixpoint
+    in ~6 rounds at sf0.01 (the Ray query asserts n_iter_ <= 20, so 24
+    unrolls is convergence with margin); at the fixpoint the distinct
+    endpoints ARE the k-core vertex set (every endpoint has degree >= k
+    by construction)."""
+    steps = _kcore_steps(k, rounds, "p")
     return f"""
         WITH {', '.join(steps)}
         SELECT DISTINCT a AS id FROM (
             SELECT a FROM p{rounds} UNION ALL SELECT b AS a FROM p{rounds}
         ) ORDER BY 1
+    """
+
+
+def _core_numbers_oracle(kmax: int = 4, rounds: int = 24) -> str:
+    """core(v) = Σ_{k=1..kmax} [v ∈ k-core] — one unrolled peel chain per
+    k (kmax = the heavy graph's degeneracy, 4 at sf0.01; a vertex in a
+    hypothetical (kmax+1)-core would make row counts mismatch loudly)."""
+    steps = []
+    members = []
+    for k in range(1, kmax + 1):
+        steps.extend(_kcore_steps(k, rounds, f"k{k}p"))
+        members.append(
+            f"""SELECT DISTINCT id, {k} AS k FROM (
+                    SELECT a AS id FROM k{k}p{rounds}
+                    UNION ALL SELECT b AS id FROM k{k}p{rounds}
+                )"""
+        )
+    return f"""
+        WITH {', '.join(steps)},
+        mk AS ({' UNION ALL '.join(members)})
+        SELECT id, CAST(count(*) AS BIGINT) AS core
+        FROM mk GROUP BY id ORDER BY id
     """
 
 
@@ -656,6 +685,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore3_heavy_parts": _kcore_oracle(k=3, rounds=24),
         "ktruss4_heavy_parts": _ktruss_oracle(k=4, rounds=6),
+        "core_numbers_heavy_parts": _core_numbers_oracle(kmax=4, rounds=24),
         # transitivity = 3 * triangles / wedges on the heavy part graph;
         # same triple-join triangle count as the clustering oracle, wedge
         # count from the degree table

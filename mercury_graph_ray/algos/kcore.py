@@ -119,6 +119,157 @@ class _KCoreProgram(VertexProgram):
         return {"n_died": int(newly.sum())}
 
 
+class _CoreNumbersProgram(VertexProgram):
+    """Iterated h-index (Lü et al. 2016): c_0(v) = deg(v);
+    c_{t+1}(v) = H({c_t(u) : u ∈ N(v)}) where H is the h-index (the
+    largest h with at least h neighbor values ≥ h). The sequence is
+    monotone non-increasing and its fixpoint is exactly the core number
+    of every vertex — the FULL k-core decomposition in one run.
+
+    h-index is not an associative reduce, so payloads are PER-EDGE value
+    arrays (int32, O(E) per superstep — vs O(uniq_dst) for PageRank) in
+    the static dst-major order; the one-time meta exchange ships each
+    route's per-edge destination rows, and the receiver's h-index kernel
+    is fully static-planned: one bincount into per-vertex histograms of
+    values clipped at the vertex degree (h never exceeds deg), one
+    global reverse-cumsum for segmented suffix counts, one reduceat of
+    the monotone condition ``suffix(h) >= h`` — the h-index is
+    (#true positions − 1). All O(E + Σdeg) vectorized, no Python loop.
+    """
+
+    state_columns = ("core",)
+
+    def prepare(self, csr):
+        E = csr.n_edges
+        U = len(csr.uniq_dst)
+        seg_len = np.diff(np.append(csr.dst_seg_starts, E)).astype(np.int64)
+        # per-edge destination local row, dst-major order, sliced per
+        # destination partition by EDGE ranges (contiguous: uniq_dst is
+        # grouped by owner partition)
+        per_edge_local = (csr.uniq_dst // np.uint64(csr.n_parts)).astype(np.int64)
+        per_edge_local = np.repeat(per_edge_local, seg_len)
+        us = csr.uniq_part_starts
+        edge_bounds = []
+        for q in range(csr.n_parts):
+            a = int(csr.dst_seg_starts[us[q]]) if us[q] < U else E
+            b = int(csr.dst_seg_starts[us[q + 1]]) if us[q + 1] < U else E
+            edge_bounds.append((a, b))
+        return {"edge_bounds": edge_bounds, "per_edge_local": per_edge_local}
+
+    def scatter_meta(self, csr, cache):
+        pel = cache["per_edge_local"]
+        return [pel[a:b] for a, b in cache["edge_bounds"]]
+
+    def prepare_recv(self, csr, cache, metas):
+        per_sender = [
+            (m if m is not None else np.array([], np.int64)).astype(np.int64, copy=False)
+            for m in metas
+        ]
+        li_e = np.concatenate(per_sender) if per_sender else np.array([], np.int64)
+        n_local = csr.n_local
+        deg = np.bincount(li_e, minlength=n_local).astype(np.int64)
+        order = np.argsort(li_e, kind="stable")  # edges grouped by row
+        hist_offset = np.concatenate([[0], np.cumsum(deg + 1)]).astype(np.int64)
+        total = int(hist_offset[-1])
+        # static per-flat-position row id and in-segment position
+        row_of_pos = np.repeat(np.arange(n_local, dtype=np.int64), deg + 1)
+        pos_in_seg = np.arange(total, dtype=np.int64) - hist_offset[row_of_pos]
+        return {
+            "deg": deg,
+            "order": order,
+            "edge_offset": hist_offset[li_e[order]],  # segment base per sorted edge
+            "deg_of_edge": deg[li_e[order]],
+            "hist_offset": hist_offset,
+            "row_of_pos": row_of_pos,
+            "pos_in_seg": pos_in_seg,
+            "total": total,
+        }
+
+    def init(self, csr, cache) -> dict:
+        return {"core": np.diff(csr.indptr).astype(np.int64)}
+
+    def scatter(self, csr, state, cache) -> list:
+        c = state["core"]
+        if csr.n_edges == 0:
+            e = np.array([], np.int32)
+            return [e for _ in range(csr.n_parts)]
+        vals = c[csr.row_by_dst].astype(np.int32)
+        return [vals[a:b] for a, b in cache["edge_bounds"]]
+
+    def gather_apply(self, csr, state, payloads, cache, recv) -> dict:
+        c = state["core"]
+        n_local = len(c)
+        if n_local == 0:
+            return {"n_changed": 0}
+        vals = (
+            np.concatenate(payloads).astype(np.int64)
+            if payloads
+            else np.array([], np.int64)
+        )
+        if not len(vals):
+            return {"n_changed": 0}
+        sv = vals[recv["order"]]
+        cv = np.minimum(sv, recv["deg_of_edge"])
+        hist = np.bincount(recv["edge_offset"] + cv, minlength=recv["total"])
+        s = hist[::-1].cumsum()[::-1]
+        s_pad = np.append(s, 0)
+        s_end = s_pad[recv["hist_offset"][1:]]  # suffix total of FOLLOWING segments
+        within = s - s_end[recv["row_of_pos"]]
+        cond = within >= recv["pos_in_seg"]
+        h = np.add.reduceat(cond, recv["hist_offset"][:-1]) - 1
+        changed = int((h != c).sum())
+        state["core"] = h.astype(np.int64)
+        return {"n_changed": changed}
+
+
+class CoreNumbers(BaseClass):
+    """``CoreNumbers().fit(g)`` sets ``core_numbers_``: a Dataset of
+    (id, core) — every vertex's core number (nx.core_number parity) —
+    and ``n_iter_`` (h-index iterations to the fixpoint, including the
+    certifying no-change one)."""
+
+    def __init__(
+        self,
+        n_parts: int | None = None,
+        max_iter: int = 10_000,
+        workdir: str | None = None,
+        actor_num_cpus: float | None = None,
+    ):
+        self.n_parts = n_parts or DEFAULT_N_PARTS
+        self.max_iter = max_iter
+        self.workdir = workdir
+        self.actor_num_cpus = actor_num_cpus
+
+    def fit(self, g) -> "CoreNumbers":
+        from mercury_graph_ray.stages.util import ensure_schema
+
+        vd, _, _ = simple_pairs(g)
+        gas = simple_gas(g, self.n_parts, self.workdir)
+        engine = BspEngine(
+            gas, _CoreNumbersProgram(), actor_num_cpus=self.actor_num_cpus
+        )
+        it = 0
+        converged = False
+        while it < self.max_iter:
+            it += 1
+            if sum(m["n_changed"] for m in engine.superstep()) == 0:
+                converged = True
+                break
+        state = engine.state_dataset()
+        engine.shutdown()
+        if not converged:
+            raise RuntimeError(
+                f"core numbers did not converge in {self.max_iter} h-index iterations"
+            )
+        self.n_iter_ = it
+        out = ensure_schema(
+            state.select_columns(["id", "core"]),
+            {"id": pa.uint64(), "core": pa.int64()},
+        )
+        self.core_numbers_ = vd.decode(out, col="id")
+        return self
+
+
 class KCore(BaseClass):
     """``KCore(k).fit(g)`` sets ``core_`` (Dataset of original vertex keys
     in the k-core, column ``id``) and ``n_iter_`` (peel rounds run —

@@ -495,6 +495,13 @@ class Graph:
 
         return KCore(k, **kw).fit(self).core_
 
+    def core_numbers(self, **kw):
+        """(id, core) — every vertex's core number (algos/kcore.py,
+        iterated h-index)."""
+        from mercury_graph_ray.algos.kcore import CoreNumbers
+
+        return CoreNumbers(**kw).fit(self).core_numbers_
+
     def k_truss(self, k: int, **kw):
         """Canonical edge Dataset of the k-truss (algos/ktruss.py)."""
         from mercury_graph_ray.algos.ktruss import KTruss

@@ -448,6 +448,16 @@ def rich_club_heavy_parts(sf_dir: str):
     return df.sort_values("k").reset_index(drop=True)
 
 
+def core_numbers_heavy_parts(sf_dir: str):
+    """Every vertex's core number on the heavy part graph
+    (algos/kcore.CoreNumbers, iterated h-index to the fixpoint) — exact
+    vs the per-k unrolled-peel SQL oracle (degeneracy 4 at sf0.01)."""
+    from mercury_graph_ray.algos.kcore import CoreNumbers
+
+    cn = CoreNumbers(n_parts=8).fit(_heavy_part_graph(sf_dir))
+    return cn.core_numbers_.to_pandas().sort_values("id").reset_index(drop=True)
+
+
 def ktruss4_heavy_parts(sf_dir: str):
     """Edge set of the 4-truss of the heavy part graph (3 sweeps at
     sf0.01; the SQL oracle unrolls 6 — assert n_iter_ under that margin

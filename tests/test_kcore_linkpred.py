@@ -244,3 +244,38 @@ def test_kcore_and_truss_parallelism_invariance(ray_session):
         )
     assert cores[0] == cores[1]
     assert trusses[0] == trusses[1]
+
+
+def test_core_numbers_nx_parity(ray_session):
+    """Iterated h-index fixpoint == nx.core_number, and consistency with
+    the fixed-k KCore vertex sets."""
+    from mercury_graph_ray.algos.kcore import CoreNumbers
+
+    G, df = _gnm(200, 500, seed=7)
+    g = Graph(df)
+    cn = CoreNumbers(n_parts=4).fit(g)
+    got = {r["id"]: r["core"] for r in cn.core_numbers_.take_all()}
+    want = nx.core_number(G)
+    assert got == {v: c for v, c in want.items() if v in got}
+    assert cn.n_iter_ >= 2
+    # k-core == {v : core(v) >= k}
+    for k in (2, 3):
+        core_set = set(r["id"] for r in KCore(k, n_parts=4).fit(g).core_.take_all())
+        assert core_set == {v for v, c in got.items() if c >= k}
+
+
+def test_core_numbers_parallelism_invariance_and_shapes(ray_session):
+    from mercury_graph_ray.algos.kcore import CoreNumbers
+
+    _, df = _gnm(150, 450, seed=5)
+    outs = []
+    for p in (2, 7):
+        cn = CoreNumbers(n_parts=p).fit(Graph(df))
+        outs.append(
+            cn.core_numbers_.to_pandas().sort_values("id").reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # a path graph is 1-degenerate: every core number is 1
+    path = pd.DataFrame({"src": range(9), "dst": range(1, 10)})
+    cn = CoreNumbers(n_parts=2).fit(Graph(path))
+    assert set(r["core"] for r in cn.core_numbers_.take_all()) == {1}
