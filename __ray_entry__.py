@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_fixed20_supplier_customer": tpch.pagerank_fixed20_supplier_customer,
         "hits_supplier_customer": tpch.hits_supplier_customer,
         "ppr_fixed20_supplier_seeds": tpch.ppr_fixed20_supplier_seeds,
+        "katz_fixed10_supplier_customer": tpch.katz_fixed10_supplier_customer,
         "connected_components_supplier_customer": tpch.connected_components_supplier_customer,
         "bfs_hops_supplier_s1": tpch.bfs_hops_supplier_s1,
         "closeness_landmarks_suppliers": tpch.closeness_landmarks_suppliers,
@@ -487,6 +488,34 @@ def oracle_sql() -> dict[str, str]:
     return {
         "label_propagation_supplier_customer": _lpa_oracle(10),
         "pagerank_fixed20_supplier_customer": _pagerank_oracle(20),
+        # Katz, 10 unrolled iterations from x0 = 0 on BINARY adjacency:
+        # x_{k}(v) = beta + alpha * sum of x_{k-1} over in-neighbors
+        "katz_fixed10_supplier_customer": f"""
+            WITH e AS (
+                SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2
+            ),
+            ids AS (
+                SELECT DISTINCT id FROM (
+                    SELECT src AS id FROM e UNION ALL SELECT dst FROM e
+                )
+            ),
+            r0 AS (SELECT id, 0.0 AS val FROM ids),
+            {", ".join(
+                f'''r{k} AS MATERIALIZED (
+                    SELECT i.id, 1.0 + 0.005 * COALESCE(c.x, 0.0) AS val
+                    FROM ids i
+                    LEFT JOIN (
+                        SELECT e.dst AS id, sum(r.val) AS x
+                        FROM e JOIN r{k - 1} r ON r.id = e.src
+                        GROUP BY 1
+                    ) c ON c.id = i.id
+                )'''
+                for k in range(1, 11)
+            )}
+            SELECT id, round(val, 9) AS katz FROM r10 ORDER BY id
+        """,
         "hits_supplier_customer": _hits_oracle(20),
         "ppr_fixed20_supplier_seeds": _ppr_oracle(("s1", "s2", "s3"), 20),
         "minhash_dedup_pairs": _minhash_oracle(),

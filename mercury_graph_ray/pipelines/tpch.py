@@ -707,6 +707,23 @@ def harmonic_ecc_landmarks_suppliers(sf_dir: str):
     return df.sort_values("id").reset_index(drop=True)[["id", "harmonic", "ecc_lb"]]
 
 
+def katz_fixed10_supplier_customer(sf_dir: str):
+    """Katz centrality at exactly 10 iterations (tol=0, binary
+    adjacency, alpha=0.005, beta=1, unnormalized) — the SQL-checkable
+    fixed-dataflow variant, like pagerank_fixed20."""
+    from mercury_graph_ray.algos.katz import KatzCentrality
+    from mercury_graph_ray.graph import Graph
+    from mercury_graph_ray.pipelines.training_data import _round_half_away
+
+    k = KatzCentrality(alpha=0.005, beta=1.0, max_iter=10, tol=0.0, n_parts=8).fit(
+        Graph(supplier_customer_edges(sf_dir).materialize())
+    )
+    df = k.katz_.to_pandas()
+    df["id"] = df["id"].astype(str)
+    df["katz"] = _round_half_away(df["katz"], 9)
+    return df.sort_values("id").reset_index(drop=True)[["id", "katz"]]
+
+
 def connected_components_supplier_customer(sf_dir: str):
     from mercury_graph_ray.algos.connected_components import ConnectedComponents
     from mercury_graph_ray.graph import Graph

@@ -577,3 +577,46 @@ def test_clustering_coefficient_nx_parity(pages_graph):
     for k, v in want.items():
         assert abs(got.loc[k, "clustering"] - v) < 1e-12
         assert got.loc[k, "degree"] == und.degree(k)
+
+
+def test_katz_centrality_nx_parity(ray_session):
+    """Converged Katz (normalized) matches nx on directed AND undirected
+    graphs; weighted=True uses edge weights in the incoming sum."""
+    import networkx as nx
+
+    from mercury_graph_ray.algos.katz import KatzCentrality
+
+    G = nx.gnm_random_graph(150, 450, seed=4)
+    e = pd.DataFrame({"src": [u for u, v in G.edges], "dst": [v for u, v in G.edges]})
+    k = KatzCentrality(alpha=0.02, max_iter=2000, tol=1e-13, normalized=True,
+                       n_parts=4).fit(Graph(e, keys={"directed": False}))
+    got = k.katz_.to_pandas().set_index("id")["katz"]
+    want = nx.katz_centrality(G, alpha=0.02, max_iter=2000, tol=1e-13)
+    for v in G.nodes:
+        assert abs(got[v] - want[v]) < 1e-8, v
+
+    D = nx.gnp_random_graph(100, 0.05, seed=6, directed=True)
+    de = pd.DataFrame({"src": [u for u, v in D.edges], "dst": [v for u, v in D.edges]})
+    k2 = KatzCentrality(alpha=0.03, max_iter=2000, tol=1e-13, normalized=True,
+                        n_parts=4).fit(Graph(de))
+    got2 = k2.katz_.to_pandas().set_index("id")["katz"]
+    want2 = nx.katz_centrality(D, alpha=0.03, max_iter=2000, tol=1e-13)
+    for v in got2.index:
+        assert abs(got2[v] - want2[v]) < 1e-8, v
+
+
+def test_katz_fixed_iterations_and_weighted(ray_session):
+    from mercury_graph_ray.algos.katz import KatzCentrality
+
+    # star: after 2 binary iterations from 0, center = beta + alpha*L*beta
+    e = pd.DataFrame({"src": [1, 2, 3], "dst": [0, 0, 0]})
+    k = KatzCentrality(alpha=0.1, beta=1.0, max_iter=2, tol=0.0, n_parts=2).fit(Graph(e))
+    got = k.katz_.to_pandas().set_index("id")["katz"]
+    assert abs(got[0] - (1.0 + 0.1 * 3 * 1.0)) < 1e-15
+    assert abs(got[1] - 1.0) < 1e-15
+    assert k.n_iter_ == 2
+    # weighted: doubled weight doubles the incoming term
+    ew = pd.DataFrame({"src": [1], "dst": [0], "weight": [2.0]})
+    kw = KatzCentrality(alpha=0.1, max_iter=2, tol=0.0, weighted=True, n_parts=2).fit(Graph(ew))
+    gw = kw.katz_.to_pandas().set_index("id")["katz"]
+    assert abs(gw[0] - (1.0 + 0.1 * 2.0)) < 1e-15
