@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_supplier_customer": tpch.hits_supplier_customer,
         "ppr_fixed20_supplier_seeds": tpch.ppr_fixed20_supplier_seeds,
         "katz_fixed10_supplier_customer": tpch.katz_fixed10_supplier_customer,
+        "eigenvector_fixed10_supplier_customer": tpch.eigenvector_fixed10_supplier_customer,
         "connected_components_supplier_customer": tpch.connected_components_supplier_customer,
         "bfs_hops_supplier_s1": tpch.bfs_hops_supplier_s1,
         "closeness_landmarks_suppliers": tpch.closeness_landmarks_suppliers,
@@ -515,6 +516,41 @@ def oracle_sql() -> dict[str, str]:
                 for k in range(1, 11)
             )}
             SELECT id, round(val, 9) AS katz FROM r10 ORDER BY id
+        """,
+        # eigenvector centrality, 10 unrolled L1-scaled power-iteration
+        # steps on the SYMMETRIZED binary supplier-customer graph, x0 = 1:
+        # raw_k(v) = sum of r_{k-1} over neighbors, r_k = raw_k / Σ raw_k
+        "eigenvector_fixed10_supplier_customer": f"""
+            WITH e0 AS (
+                SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1, 2
+            ),
+            e AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM e0
+                    UNION ALL SELECT dst AS src, src AS dst FROM e0
+                )
+            ),
+            ids AS (SELECT DISTINCT src AS id FROM e),
+            r0 AS (SELECT id, 1.0 AS val FROM ids),
+            {", ".join(
+                f'''s{k} AS MATERIALIZED (
+                    SELECT i.id, COALESCE(c.x, 0.0) AS val
+                    FROM ids i
+                    LEFT JOIN (
+                        SELECT e.dst AS id, sum(r.val) AS x
+                        FROM e JOIN r{k - 1} r ON r.id = e.src
+                        GROUP BY 1
+                    ) c ON c.id = i.id
+                ),
+                r{k} AS MATERIALIZED (
+                    SELECT id, val / (SELECT sum(val) FROM s{k}) AS val
+                    FROM s{k}
+                )'''
+                for k in range(1, 11)
+            )}
+            SELECT id, round(val, 9) AS eigenvector FROM r10 ORDER BY id
         """,
         "hits_supplier_customer": _hits_oracle(20),
         "ppr_fixed20_supplier_seeds": _ppr_oracle(("s1", "s2", "s3"), 20),

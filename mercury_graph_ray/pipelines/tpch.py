@@ -724,6 +724,25 @@ def katz_fixed10_supplier_customer(sf_dir: str):
     return df.sort_values("id").reset_index(drop=True)[["id", "katz"]]
 
 
+def eigenvector_fixed10_supplier_customer(sf_dir: str):
+    """Eigenvector centrality at exactly 10 L1-scaled power iterations
+    (binary adjacency, undirected supplier-customer graph; x0 = 1) —
+    the SQL-checkable fixed-dataflow variant. The bipartite graph's
+    period-2 oscillation is irrelevant: both sides compute the same
+    10-step pure function."""
+    from mercury_graph_ray.algos.katz import EigenvectorCentrality
+    from mercury_graph_ray.graph import Graph
+    from mercury_graph_ray.pipelines.training_data import _round_half_away
+
+    ev = EigenvectorCentrality(max_iter=10, tol=0.0, n_parts=8).fit(
+        Graph(supplier_customer_edges(sf_dir).materialize(), keys={"directed": False})
+    )
+    df = ev.eigenvector_.to_pandas()
+    df["id"] = df["id"].astype(str)
+    df["eigenvector"] = _round_half_away(df["eigenvector"], 9)
+    return df.sort_values("id").reset_index(drop=True)[["id", "eigenvector"]]
+
+
 def connected_components_supplier_customer(sf_dir: str):
     from mercury_graph_ray.algos.connected_components import ConnectedComponents
     from mercury_graph_ray.graph import Graph

@@ -620,3 +620,28 @@ def test_katz_fixed_iterations_and_weighted(ray_session):
     kw = KatzCentrality(alpha=0.1, max_iter=2, tol=0.0, weighted=True, n_parts=2).fit(Graph(ew))
     gw = kw.katz_.to_pandas().set_index("id")["katz"]
     assert abs(gw[0] - (1.0 + 0.1 * 2.0)) < 1e-15
+
+
+def test_eigenvector_centrality_nx_parity(ray_session):
+    import networkx as nx
+
+    from mercury_graph_ray.algos.katz import EigenvectorCentrality
+
+    G = nx.gnm_random_graph(150, 500, seed=4)
+    e = pd.DataFrame({"src": [u for u, v in G.edges], "dst": [v for u, v in G.edges]})
+    ev = EigenvectorCentrality(max_iter=3000, tol=1e-12, normalized=True,
+                               n_parts=4).fit(Graph(e, keys={"directed": False}))
+    got = ev.eigenvector_.to_pandas().set_index("id")["eigenvector"]
+    want = nx.eigenvector_centrality(G, max_iter=3000, tol=1e-12)
+    for v in G.nodes:
+        assert abs(got[v] - want[v]) < 1e-7, v
+    assert ev.n_iter_ < 200  # the L1-residual stop rule actually fires
+
+    D = nx.gnp_random_graph(120, 0.06, seed=10, directed=True)
+    de = pd.DataFrame({"src": [u for u, v in D.edges], "dst": [v for u, v in D.edges]})
+    ev2 = EigenvectorCentrality(max_iter=5000, tol=1e-12, normalized=True,
+                                n_parts=4).fit(Graph(de))
+    got2 = ev2.eigenvector_.to_pandas().set_index("id")["eigenvector"]
+    want2 = nx.eigenvector_centrality(D, max_iter=5000, tol=1e-12)
+    for v in got2.index:
+        assert abs(got2[v] - want2[v]) < 1e-6, v
