@@ -495,6 +495,18 @@ class Graph:
 
         return KCore(k, **kw).fit(self).core_
 
+    def katz_centrality(self, **kw):
+        """(id, katz) — algos/katz.py (fixed-iteration or tol-stopped)."""
+        from mercury_graph_ray.algos.katz import KatzCentrality
+
+        return KatzCentrality(**kw).fit(self).katz_
+
+    def eigenvector_centrality(self, **kw):
+        """(id, eigenvector) — algos/katz.py (L1-scaled power iteration)."""
+        from mercury_graph_ray.algos.katz import EigenvectorCentrality
+
+        return EigenvectorCentrality(**kw).fit(self).eigenvector_
+
     def core_numbers(self, **kw):
         """(id, core) — every vertex's core number (algos/kcore.py,
         iterated h-index)."""

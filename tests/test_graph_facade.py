@@ -335,3 +335,19 @@ def test_transitivity_nx_parity(ray_session):
     # wedge-free graph (perfect matching): 0.0 like nx
     df = pd.DataFrame({"src": [0, 2, 4], "dst": [1, 3, 5]})
     assert Graph(df).transitivity(n_parts=2) == 0.0
+
+
+def test_facade_centrality_wrappers(ray_session):
+    import networkx as nx
+
+    G = nx.gnm_random_graph(60, 180, seed=9)
+    df = pd.DataFrame([(u, v) for u, v in G.edges()], columns=["src", "dst"])
+    g = Graph(df, keys={"directed": False})
+    kz = g.katz_centrality(alpha=0.02, max_iter=2000, tol=1e-13, normalized=True,
+                           n_parts=2).to_pandas().set_index("id")["katz"]
+    want = nx.katz_centrality(G, alpha=0.02, max_iter=2000, tol=1e-13)
+    assert all(abs(kz[v] - want[v]) < 1e-8 for v in G.nodes)
+    ev = g.eigenvector_centrality(max_iter=3000, tol=1e-12, normalized=True,
+                                  n_parts=2).to_pandas().set_index("id")["eigenvector"]
+    wev = nx.eigenvector_centrality(G, max_iter=3000, tol=1e-12)
+    assert all(abs(ev[v] - wev[v]) < 1e-7 for v in G.nodes)
