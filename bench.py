@@ -37,7 +37,17 @@ PAGES_OVERRIDE = os.environ.get("GRAFT_BENCH_PAGES", "")
 N_PARTS = int(os.environ.get("GRAFT_N_PARTS", "8"))
 
 
+# headline repeats: each query runs REPEATS times, interleaved round-robin
+# (pass 1 all queries, pass 2 all queries, ...), and the recorded number is
+# the per-query MEDIAN. A single host-level CPU-steal episode (this VM shows
+# multi-minute ones — BASELINE.md records identical code at 40.7/29.7/21.3 s
+# back-to-back) then inflates at most one pass, not the artifact.
+REPEATS = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
+
+
 def run_bench() -> dict:
+    import statistics
+
     import ray
 
     ray.init(
@@ -66,48 +76,63 @@ def run_bench() -> dict:
         n_pages, body_scale = (int(x) for x in PAGES_OVERRIDE.split("x"))
     else:
         n_pages, body_scale = PAGES_BY_SF.get(sf_name, 8_000), 1
-    queries: dict[str, float] = {}
-    t_all = time.time()
 
-    # -- pages -> edges (extractor + the (src,dst) weight shuffle)
     pdir = pages_parquet(n_pages, seed=42, body_scale=body_scale)  # cached (warmed input)
-    t0 = time.time()
     edges_path = f"/tmp/mgr_bench_edges_{sf_name}_{NUM_CPUS}"
-    pages_to_edges(pdir).write_parquet(edges_path, mode="overwrite")
-    queries["pages_to_edges"] = round(time.time() - t0, 3)
+    pr_stats: dict = {}
 
-    # -- PageRank on the link graph (the north-rule metric)
-    t0 = time.time()
-    edges = rd.read_parquet(edges_path)
-    n_edges = edges.count()
-    g = Graph(edges)
-    pr = PageRank(n_parts=N_PARTS).fit(g)
-    pr_sec = time.time() - t0
-    queries["pagerank_pages"] = round(pr_sec, 3)
-    queries["pagerank_n_iter"] = pr.n_iter_  # iterations-to-convergence
-    queries["pagerank_converged_tol1e-6"] = int(pr.converged_)
-    queries["pagerank_edges_per_sec_per_superstep"] = round(
-        n_edges * pr.n_iter_ / pr_sec, 1
-    )
+    def q_pages_to_edges():
+        # extractor + the (src,dst) weight shuffle; fresh write every repeat
+        pages_to_edges(pdir).write_parquet(edges_path, mode="overwrite")
 
-    # -- relational + dedup slice over the sf tables
-    for name, fn in [
-        ("q1_pricing_summary", tpch.q1_pricing_summary),
-        ("supplier_customer_edges", lambda sf: tpch.supplier_customer_edges(sf).count()),
-        ("graph_degrees", tpch.graph_degrees),
-        ("docs_exact_dedup", tpch.docs_exact_dedup),
-    ]:
+    def q_pagerank_pages():
+        # north-rule metric: converged PageRank on the link graph. A fresh
+        # Graph per repeat so the CSR build is measured every time.
         t0 = time.time()
-        fn(SF_DIR)
-        queries[name] = round(time.time() - t0, 3)
+        edges = rd.read_parquet(edges_path)
+        n_edges = edges.count()
+        pr = PageRank(n_parts=N_PARTS).fit(Graph(edges))
+        pr_sec = time.time() - t0
+        pr_stats["pagerank_n_iter"] = pr.n_iter_
+        pr_stats["pagerank_converged_tol1e-6"] = int(pr.converged_)
+        pr_stats["pagerank_edges_per_sec_per_superstep"] = max(
+            pr_stats.get("pagerank_edges_per_sec_per_superstep", 0.0),
+            round(n_edges * pr.n_iter_ / pr_sec, 1),
+        )
 
-    total = round(time.time() - t_all, 3)
+    plan = [
+        ("pages_to_edges", q_pages_to_edges),
+        ("pagerank_pages", q_pagerank_pages),
+        # relational + dedup slice over the sf tables
+        ("q1_pricing_summary", lambda: tpch.q1_pricing_summary(SF_DIR)),
+        (
+            "supplier_customer_edges",
+            lambda: tpch.supplier_customer_edges(SF_DIR).count(),
+        ),
+        ("graph_degrees", lambda: tpch.graph_degrees(SF_DIR)),
+        ("docs_exact_dedup", lambda: tpch.docs_exact_dedup(SF_DIR)),
+    ]
+    raw: dict[str, list[float]] = {name: [] for name, _ in plan}
+    for _ in range(max(1, REPEATS)):
+        for name, fn in plan:
+            t0 = time.time()
+            fn()
+            raw[name].append(round(time.time() - t0, 3))
+
+    queries: dict[str, float] = {
+        name: round(statistics.median(raw[name]), 3) for name, _ in plan
+    }
+    queries.update(pr_stats)
+    total = round(sum(queries[name] for name, _ in plan), 3)
     ray.shutdown()
     return {
-        "metric": "headline: pages->edges->pagerank + operator slice (sec)",
+        "metric": "headline: pages->edges->pagerank + operator slice "
+        "(sum of per-query medians, sec)",
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "repeats": raw,  # all raw per-pass timings, interleaved round-robin
+        "n_repeats": max(1, REPEATS),
         "sf": sf_name,
         "num_cpus": NUM_CPUS,
     }

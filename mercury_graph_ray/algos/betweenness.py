@@ -24,7 +24,12 @@ lockstep, one shared level counter):
 
 The graph is the SIMPLE undirected graph via ``algos.kcore.simple_gas``
 (duplicate edges would double-count σ; self-loops never lie on shortest
-paths). σ is integer-valued in float64 — exact below 2^53 paths.
+paths). **A directed Graph is deliberately treated as undirected** —
+edge direction is discarded by the symmetrized simple graph, exactly
+like closeness/harmonic (``algos/bfs.py``) and unlike SCC (which raises
+on an undirected input because direction is its whole point). Callers
+needing directed betweenness must symmetrize intent explicitly.
+σ is integer-valued in float64 — exact below 2^53 paths.
 """
 
 from __future__ import annotations

@@ -30,17 +30,37 @@ def explicit_nodes(g):
     return None
 
 
-def prepare(g, *, symmetrize: bool = False, n_parts: int | None = None, workdir: str | None = None):
-    """Graph -> (VertexDict, GasGraph); cached per (symmetrize, n_parts)."""
+def prepare(g, *, symmetrize: bool = False, n_parts: int | None = None,
+            workdir: str | None = None, distinct: bool = False):
+    """Graph -> (VertexDict, GasGraph); cached per (symmetrize, n_parts,
+    distinct).
+
+    ``distinct=True`` collapses duplicate (src, dst) rows of a DIRECTED
+    edge table to one edge before the CSR build (dropping weights —
+    callers use it for binary-adjacency semantics, e.g. unweighted Katz
+    / eigenvector, where each distinct edge must count exactly once).
+    The undirected path already dedups via ``undirected_edges``."""
     n_parts = n_parts or DEFAULT_N_PARTS
-    key = ("gas", bool(symmetrize), n_parts)
+    key = ("gas", bool(symmetrize), n_parts, bool(distinct))
     if key in g._cache:
         return g._cache[key]
     vd_key = "vertex_dict"
     if vd_key not in g._cache:
         g._cache[vd_key] = VertexDict.from_edges(g.edges, nodes=explicit_nodes(g))
     vd: VertexDict = g._cache[vd_key]
-    edges = g.undirected_edges() if (symmetrize or not g.directed) else g.edges
+    if symmetrize or not g.directed:
+        edges = g.undirected_edges()
+    else:
+        edges = g.edges
+        if distinct:
+            from ray.data.aggregate import Count
+
+            edges = (
+                edges.select_columns(["src", "dst"])
+                .groupby(["src", "dst"])
+                .aggregate(Count(alias_name="_n"))
+                .select_columns(["src", "dst"])
+            )
     enc = vd.encode_edges(edges)
     if workdir is None:
         workdir = tempfile.mkdtemp(

@@ -5,9 +5,12 @@ exactly (the same contract pattern as pagerank_fixed20 / HITS):
 
 - ``x_0 = 0``; per iteration ``x_{t+1}(v) = beta + alpha · Σ_{u→v} w_uv ·
   x_t(u)`` (incoming-edge sum — networkx katz_centrality's update);
-- ``weighted=False`` uses binary adjacency (each distinct edge counts 1)
-  — the safe default for a fixed-alpha run on weighted multigraph-ish
-  edge tables whose raw weights would blow past the convergence radius;
+- ``weighted=False`` uses binary adjacency (each distinct edge counts 1):
+  duplicate (src, dst) rows are collapsed before the CSR build on BOTH
+  the directed and undirected paths (``prepare(distinct=True)`` /
+  ``undirected_edges``), so multigraph-ish edge tables match the
+  DISTINCT-edge SQL oracle and nx parity. ``weighted=True`` keeps every
+  row: duplicate directed rows contribute their weights additively;
 - exactly ``max_iter`` iterations when ``tol=0``, else stop at L1
   residual < tol;
 - ``normalized=True`` scales by 1/||x||_2 at the END (nx semantics),
@@ -171,7 +174,7 @@ class EigenvectorCentrality(BaseClass):
         from mercury_graph_ray.stages.util import ensure_schema
 
         vd, gas = prepare(g, symmetrize=not g.directed, n_parts=self.n_parts,
-                          workdir=self.workdir)
+                          workdir=self.workdir, distinct=not self.weighted)
         engine = BspEngine(
             gas,
             _PowerIterProgram(self.weighted),
@@ -244,7 +247,7 @@ class KatzCentrality(BaseClass):
         from mercury_graph_ray.stages.util import ensure_schema
 
         vd, gas = prepare(g, symmetrize=not g.directed, n_parts=self.n_parts,
-                          workdir=self.workdir)
+                          workdir=self.workdir, distinct=not self.weighted)
         engine = BspEngine(
             gas,
             _KatzProgram(self.alpha, self.beta, self.weighted),

@@ -48,7 +48,7 @@ def simple_gas(g, n_parts: int, workdir: str | None = None):
     Graph facade so KCore runs over the same Graph share one CSR build."""
     from mercury_graph_ray.stages.gas import GasGraph
 
-    key = ("gas_simple", n_parts)
+    key = ("gas_simple", n_parts, workdir)
     if key in g._cache:
         return g._cache[key]
     vd, canon, _ = simple_pairs(g)
@@ -126,15 +126,21 @@ class _CoreNumbersProgram(VertexProgram):
     monotone non-increasing and its fixpoint is exactly the core number
     of every vertex — the FULL k-core decomposition in one run.
 
-    h-index is not an associative reduce, so payloads are PER-EDGE value
-    arrays (int32, O(E) per superstep — vs O(uniq_dst) for PageRank) in
-    the static dst-major order; the one-time meta exchange ships each
-    route's per-edge destination rows, and the receiver's h-index kernel
-    is fully static-planned: one bincount into per-vertex histograms of
-    values clipped at the vertex degree (h never exceeds deg), one
-    global reverse-cumsum for segmented suffix counts, one reduceat of
-    the monotone condition ``suffix(h) >= h`` — the h-index is
-    (#true positions − 1). All O(E + Σdeg) vectorized, no Python loop.
+    h-index is not an associative reduce, so the exchange carries
+    PER-EDGE values — but DELTA-GATED (VERDICT r3 #3, the same
+    sparse-payload discipline as KCore's death decrements): each
+    superstep a sender ships (edge-offset-within-route int64, new value
+    int32) pairs ONLY for edges whose source h-value changed last round
+    (round 1 ships everything — every value "changed" from undefined).
+    The receiver holds a persistent per-edge value image ``cv`` plus its
+    clipped histogram, updates both incrementally from the sparse
+    deltas, and re-derives the h-index from the histogram: one global
+    reverse-cumsum for segmented suffix counts, one reduceat of the
+    monotone condition ``suffix(h) >= h`` — the h-index is
+    (#true positions − 1). Wire traffic is proportional to the round's
+    CHANGES (late rounds near-free); receiver compute stays O(local E)
+    vectorized, no Python loop. The one-time meta exchange ships each
+    route's per-edge destination rows so all of this is static-planned.
     """
 
     state_columns = ("core",)
@@ -154,7 +160,23 @@ class _CoreNumbersProgram(VertexProgram):
             a = int(csr.dst_seg_starts[us[q]]) if us[q] < U else E
             b = int(csr.dst_seg_starts[us[q + 1]]) if us[q + 1] < U else E
             edge_bounds.append((a, b))
-        return {"edge_bounds": edge_bounds, "per_edge_local": per_edge_local}
+        # per-route sender plan: edges of the route grouped by SOURCE
+        # local row (ord: route-relative offsets sorted by row; indptr:
+        # row -> offset range), so a delta scatter touches only the
+        # changed rows' edges — O(changed edges), not O(E)
+        n_local = csr.n_local
+        send = []
+        for a, b in edge_bounds:
+            rows = csr.row_by_dst[a:b]
+            ordq = np.argsort(rows, kind="stable").astype(np.int64)
+            cnt = np.bincount(rows, minlength=n_local).astype(np.int64)
+            indptr = np.concatenate([[0], np.cumsum(cnt)]).astype(np.int64)
+            send.append((ordq, indptr))
+        return {
+            "edge_bounds": edge_bounds,
+            "per_edge_local": per_edge_local,
+            "send": send,
+        }
 
     def scatter_meta(self, csr, cache):
         pel = cache["per_edge_local"]
@@ -165,24 +187,33 @@ class _CoreNumbersProgram(VertexProgram):
             (m if m is not None else np.array([], np.int64)).astype(np.int64, copy=False)
             for m in metas
         ]
+        # global incoming-edge index = sender_base[s] + route-relative offset
+        sender_base = np.concatenate(
+            [[0], np.cumsum([len(m) for m in per_sender])]
+        ).astype(np.int64)
         li_e = np.concatenate(per_sender) if per_sender else np.array([], np.int64)
         n_local = csr.n_local
         deg = np.bincount(li_e, minlength=n_local).astype(np.int64)
-        order = np.argsort(li_e, kind="stable")  # edges grouped by row
         hist_offset = np.concatenate([[0], np.cumsum(deg + 1)]).astype(np.int64)
         total = int(hist_offset[-1])
+        seg_base_e = hist_offset[li_e]  # histogram segment base per edge
         # static per-flat-position row id and in-segment position
         row_of_pos = np.repeat(np.arange(n_local, dtype=np.int64), deg + 1)
         pos_in_seg = np.arange(total, dtype=np.int64) - hist_offset[row_of_pos]
+        # persistent per-edge value image + its clipped histogram; every
+        # edge starts at value 0 (round 1 ships a full delta that moves
+        # each edge to its true slot)
+        cv = np.zeros(len(li_e), np.int64)
+        hist = np.bincount(seg_base_e, minlength=total).astype(np.int64)
         return {
-            "deg": deg,
-            "order": order,
-            "edge_offset": hist_offset[li_e[order]],  # segment base per sorted edge
-            "deg_of_edge": deg[li_e[order]],
+            "sender_base": sender_base,
+            "seg_base_e": seg_base_e,
+            "degclip_e": deg[li_e],
             "hist_offset": hist_offset,
             "row_of_pos": row_of_pos,
             "pos_in_seg": pos_in_seg,
-            "total": total,
+            "cv": cv,
+            "hist": hist,
         }
 
     def init(self, csr, cache) -> dict:
@@ -190,36 +221,61 @@ class _CoreNumbersProgram(VertexProgram):
 
     def scatter(self, csr, state, cache) -> list:
         c = state["core"]
-        if csr.n_edges == 0:
-            e = np.array([], np.int32)
-            return [e for _ in range(csr.n_parts)]
-        vals = c[csr.row_by_dst].astype(np.int32)
-        return [vals[a:b] for a, b in cache["edge_bounds"]]
+        n_local = csr.n_local
+        changed = state.get("_changed")  # None on round 1 -> ship everything
+        rows = (
+            np.arange(n_local, dtype=np.int64)
+            if changed is None
+            else np.flatnonzero(changed)
+        )
+        out = []
+        for ordq, indptr in cache["send"]:
+            starts = indptr[rows]
+            lens = indptr[rows + 1] - starts
+            total = int(lens.sum())
+            if total == 0:
+                out.append((np.array([], np.int64), np.array([], np.int32)))
+                continue
+            # ragged take: route-relative offsets of the selected rows' edges
+            base = np.repeat(np.cumsum(lens) - lens, lens)
+            idx = np.repeat(starts, lens) + (np.arange(total, dtype=np.int64) - base)
+            out.append((ordq[idx], np.repeat(c[rows], lens).astype(np.int32)))
+        return out
 
     def gather_apply(self, csr, state, payloads, cache, recv) -> dict:
         c = state["core"]
         n_local = len(c)
         if n_local == 0:
             return {"n_changed": 0}
-        vals = (
-            np.concatenate(payloads).astype(np.int64)
-            if payloads
-            else np.array([], np.int64)
-        )
-        if not len(vals):
-            return {"n_changed": 0}
-        sv = vals[recv["order"]]
-        cv = np.minimum(sv, recv["deg_of_edge"])
-        hist = np.bincount(recv["edge_offset"] + cv, minlength=recv["total"])
-        s = hist[::-1].cumsum()[::-1]
-        s_pad = np.append(s, 0)
+        offs_parts, vals_parts = [], []
+        for s, p in enumerate(payloads):
+            if p is None:
+                continue
+            off, val = p
+            if len(off):
+                offs_parts.append(off + recv["sender_base"][s])
+                vals_parts.append(val)
+        hist = recv["hist"]
+        if offs_parts:
+            offs = np.concatenate(offs_parts)
+            nv = np.minimum(
+                np.concatenate(vals_parts).astype(np.int64), recv["degclip_e"][offs]
+            )
+            old = recv["cv"][offs]
+            slot = recv["seg_base_e"][offs]
+            np.subtract.at(hist, slot + old, 1)
+            np.add.at(hist, slot + nv, 1)
+            recv["cv"][offs] = nv
+        s_ = hist[::-1].cumsum()[::-1]
+        s_pad = np.append(s_, 0)
         s_end = s_pad[recv["hist_offset"][1:]]  # suffix total of FOLLOWING segments
-        within = s - s_end[recv["row_of_pos"]]
+        within = s_ - s_end[recv["row_of_pos"]]
         cond = within >= recv["pos_in_seg"]
         h = np.add.reduceat(cond, recv["hist_offset"][:-1]) - 1
-        changed = int((h != c).sum())
+        chg = h != c
+        state["_changed"] = chg  # next scatter ships only these rows' edges
         state["core"] = h.astype(np.int64)
-        return {"n_changed": changed}
+        return {"n_changed": int(chg.sum())}
 
 
 class CoreNumbers(BaseClass):

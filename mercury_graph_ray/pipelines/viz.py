@@ -87,10 +87,29 @@ def node_or_edge_config(
 
 
 def moebius_json(g, limit: int = 1000) -> dict:
-    """Export (at most ``limit`` nodes of) the graph as D3 nodes/links."""
-    deg = g.degrees().to_pandas().sort_values("id").reset_index(drop=True)
-    if len(deg) > limit:
-        deg = deg.nlargest(limit, "degree").sort_values("id").reset_index(drop=True)
+    """Export (at most ``limit`` nodes of) the graph as D3 nodes/links.
+
+    The node side never collects the full vertex set: each degree batch
+    keeps only its own top-``limit`` rows by (degree desc, id asc) — the
+    stages/knn.py partial-top-k pattern — so at most ``limit × n_blocks``
+    rows reach the driver for the final head(limit), matching the
+    previous full-collect nlargest (ties broken by ascending id) exactly."""
+
+    def _part_top(t):
+        df = t.to_pandas()
+        return df.sort_values(
+            ["degree", "id"], ascending=[False, True], kind="mergesort"
+        ).head(limit)
+
+    deg = (
+        g.degrees()
+        .map_batches(_part_top, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["degree", "id"], ascending=[False, True], kind="mergesort")
+        .head(limit)
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
     keep = set(deg["id"])
     int_id = {v: i for i, v in enumerate(deg["id"])}
     n = len(int_id)

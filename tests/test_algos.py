@@ -622,6 +622,36 @@ def test_katz_fixed_iterations_and_weighted(ray_session):
     assert abs(gw[0] - (1.0 + 0.1 * 2.0)) < 1e-15
 
 
+def test_katz_directed_duplicate_rows_collapse(ray_session):
+    """Binary adjacency on a DIRECTED multigraph-ish table: duplicate
+    (src, dst) rows count once (the documented distinct-edge semantics;
+    ADVICE r3). weighted=True keeps the additive duplicate contribution."""
+    from mercury_graph_ray.algos.katz import EigenvectorCentrality, KatzCentrality
+
+    dup = pd.DataFrame({"src": [1, 1, 1, 2], "dst": [0, 0, 0, 0]})
+    k = KatzCentrality(alpha=0.1, beta=1.0, max_iter=2, tol=0.0, n_parts=2).fit(Graph(dup))
+    got = k.katz_.to_pandas().set_index("id")["katz"]
+    # two DISTINCT in-edges, not four rows
+    assert abs(got[0] - (1.0 + 0.1 * 2 * 1.0)) < 1e-15
+    # weighted=True on the same table: duplicates sum (3x weight-1 + 1)
+    kw = KatzCentrality(alpha=0.1, beta=1.0, max_iter=2, tol=0.0, weighted=True,
+                        n_parts=2).fit(Graph(dup.assign(weight=1.0)))
+    gw = kw.katz_.to_pandas().set_index("id")["katz"]
+    assert abs(gw[0] - (1.0 + 0.1 * 4 * 1.0)) < 1e-15
+
+    # eigenvector, directed, duplicates: one L1-scaled step on the
+    # 2-cycle {0->1 (x3 rows), 1->0} must equal the distinct-edge run
+    cyc = pd.DataFrame({"src": [0, 0, 0, 1], "dst": [1, 1, 1, 0]})
+    ev = EigenvectorCentrality(max_iter=4, tol=0.0, n_parts=2).fit(Graph(cyc))
+    got_dup = ev.eigenvector_.to_pandas().set_index("id")["eigenvector"]
+    ev2 = EigenvectorCentrality(max_iter=4, tol=0.0, n_parts=2).fit(
+        Graph(pd.DataFrame({"src": [0, 1], "dst": [1, 0]}))
+    )
+    got_dist = ev2.eigenvector_.to_pandas().set_index("id")["eigenvector"]
+    for v in (0, 1):
+        assert abs(got_dup[v] - got_dist[v]) < 1e-15
+
+
 def test_eigenvector_centrality_nx_parity(ray_session):
     import networkx as nx
 
