@@ -96,6 +96,92 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _brandes_oracle(depth: int = 6) -> str:
+    """Landmark Brandes betweenness, σ/δ passes unrolled ``depth`` levels.
+
+    σ and δ ARE SQL-expressible with the repo's bounded-unroll technique
+    (VERDICT r3 #5): per level t, ``σ(v) = Σ σ(u)`` over edges (u, v)
+    with d(u)=t, d(v)=t+1; the backward pass descends from the deepest
+    level with ``δ(v) = Σ (σ(v)/σ(w))·(1+δ(w))`` over successor edges
+    (d(w)=d(v)+1). The landmark set and level bound are fixed; the Ray
+    query raises if the measured BFS depth ever exceeds the unroll
+    (sf0.01 measures depth 4; 6 is the alarm margin). Betweenness is the
+    per-vertex sum of δ over landmarks, the landmark's own row excluded
+    (Brandes' v ≠ s rule — matching algos/betweenness.py's export mask),
+    rounded half-away to 9 decimals on both sides."""
+    sig_steps = []
+    for t in range(1, depth + 1):
+        sig_steps.append(
+            f"""s{t} AS MATERIALIZED (
+                SELECT st.lm, e.dst AS id, sum(st.sig) AS sig
+                FROM s{t - 1} st
+                JOIN e ON e.src = st.id
+                JOIN dist dv ON dv.lm = st.lm AND dv.id = e.dst
+                            AND dv.d = {t}
+                GROUP BY 1, 2
+            )"""
+        )
+    sig_union = "\n                UNION ALL ".join(
+        f"SELECT * FROM s{t}" for t in range(depth + 1)
+    )
+    # delta descends: vertices at the deepest level have delta 0 (no
+    # successors), so dl{depth} needs no table — LEFT JOIN absence is 0
+    dl_steps = []
+    for t in range(depth - 1, -1, -1):
+        nxt = (
+            f"LEFT JOIN dl{t + 1} dw ON dw.lm = dv.lm AND dw.id = e.dst"
+            if t + 1 < depth
+            else "LEFT JOIN (SELECT NULL AS lm, NULL AS id, 0.0 AS delta) dw "
+            "ON dw.lm = dv.lm AND dw.id = e.dst"
+        )
+        dl_steps.append(
+            f"""dl{t} AS MATERIALIZED (
+                SELECT dv.lm, dv.id,
+                       sum((sv.sig / sw.sig) * (1.0 + coalesce(dw.delta, 0.0)))
+                           AS delta
+                FROM dist dv
+                JOIN e ON e.src = dv.id
+                JOIN dist dwl ON dwl.lm = dv.lm AND dwl.id = e.dst
+                             AND dwl.d = dv.d + 1
+                JOIN sig sv ON sv.lm = dv.lm AND sv.id = dv.id
+                JOIN sig sw ON sw.lm = dwl.lm AND sw.id = dwl.id
+                {nxt}
+                WHERE dv.d = {t}
+                GROUP BY 1, 2
+            )"""
+        )
+    dl_union = "\n                UNION ALL ".join(
+        f"SELECT * FROM dl{t}" for t in range(depth)
+    )
+    return f"""
+        WITH RECURSIVE
+        e0 AS (
+            SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        ),
+        e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+        nodes AS (SELECT DISTINCT src AS id FROM e),
+        seeds(lm) AS (VALUES ('s1'), ('s2'), ('c1')),
+        reach(lm, id, hops) AS (
+            SELECT lm, lm, 0 FROM seeds
+            UNION
+            SELECT r.lm, e.dst, r.hops + 1 FROM reach r JOIN e ON e.src = r.id
+            WHERE r.hops < {depth}
+        ),
+        dist AS MATERIALIZED (SELECT lm, id, min(hops) AS d FROM reach GROUP BY 1, 2),
+        s0 AS (SELECT lm, lm AS id, CAST(1.0 AS DOUBLE) AS sig FROM seeds),
+        {",".join(sig_steps)},
+        sig AS MATERIALIZED ({sig_union}),
+        {",".join(dl_steps)},
+        alld AS ({dl_union}),
+        bc AS (SELECT id, sum(delta) AS s FROM alld WHERE id <> lm GROUP BY id)
+        SELECT n.id, round(coalesce(bc.s, 0.0), 9) AS betweenness
+        FROM nodes n LEFT JOIN bc ON bc.id = n.id
+        ORDER BY n.id
+    """
+
+
 def _lpa_oracle(max_iter: int = 10) -> str:
     """Synchronous label propagation, unrolled ``max_iter`` iterations.
 
@@ -1006,6 +1092,7 @@ def oracle_sql() -> dict[str, str]:
         # numpy landmark-order summation bit-for-bit); ecc_lb = max hops
         # to a reached landmark, -1 when none (matches the -1-filled
         # distance columns' plain max)
+        "betweenness_landmarks_suppliers": _brandes_oracle(6),
         "harmonic_ecc_landmarks_suppliers": """
             WITH RECURSIVE
             e0 AS (
@@ -1169,6 +1256,56 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
                          / greatest(length(text), 1), 6) AS punct_ratio
             FROM documents ORDER BY doc_id
+        """,
+        # EXACT oracle for the LSH pipeline: recomputes the seeded
+        # near-dup augmentation AND the quantized ±1-hyperplane LSH
+        # signatures (stages/dedup.lsh_plane_signs — two multiply-add
+        # rounds mod 2^32, top bit) in SQL, then within-bucket cosine.
+        # Integer-quantized projections make numpy-vs-SQL sign parity
+        # bit-exact; LSH misses are reproduced, not papered over.
+        "embedding_dup_pairs": """
+            WITH aug AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000, embedding::DOUBLE[]
+                FROM embeddings WHERE vec_id % 50 = 0
+                UNION ALL
+                SELECT vec_id + 100000,
+                       list_concat([embedding[1]::DOUBLE + 0.05],
+                                   (embedding::DOUBLE[])[2:])
+                FROM embeddings WHERE vec_id % 50 = 1
+            ), qv AS (
+                SELECT vec_id, e,
+                       list_transform(
+                           e, x -> CAST(floor(x * 1048576 + 0.5) AS BIGINT)
+                       ) AS q
+                FROM aug
+            ), plane AS (
+                SELECT k, j,
+                       CASE WHEN ((((k*12 + j + 1) * 1000003 + 12345)
+                                   % 4294967296)
+                                  * 998244353 + 987654321) % 4294967296
+                                 >= 2147483648
+                            THEN 1 ELSE -1 END AS s
+                -- dim is 64 in every driver fixture (the pipeline itself
+                -- is dim-generic); duckdb range() requires a constant
+                FROM range(64) t1(k), range(12) t2(j)
+            ), proj AS (
+                SELECT qv.vec_id, p.j, sum(qv.q[p.k + 1] * p.s) AS pr
+                FROM qv, plane p GROUP BY 1, 2
+            ), bkt AS (
+                SELECT vec_id,
+                       sum(CASE WHEN pr > 0 THEN 1 << j ELSE 0 END) AS bucket
+                FROM proj GROUP BY 1
+            ), uv AS (
+                SELECT q2.vec_id, b.bucket, q2.e
+                FROM bkt b JOIN qv q2 USING (vec_id)
+            )
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+            FROM uv a JOIN uv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.e, b.e) >= 0.9
+            ORDER BY 1, 2
         """,
         "embedding_similar_pairs": """
             SELECT a.vec_id AS a, b.vec_id AS b,

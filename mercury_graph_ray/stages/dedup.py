@@ -657,20 +657,57 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 
 
 # ------------------------------------------------- embedding near-dup
+_LSH_QSCALE = float(1 << 20)  # coordinate quantization: floor(x*2^20 + 0.5)
+
+
+def lsh_plane_signs(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic ±1 (Rademacher) hyperplane matrix, (dim, n_planes).
+
+    Sign-random-projection LSH works with ±1 plane entries just as with
+    gaussians (Charikar, STOC'02 — any symmetric distribution preserves
+    the sign-collision/angle relation); ±1 entries from an
+    integer-mixing hash make the whole signature EXACTLY reproducible in
+    ANSI SQL with BIGINT arithmetic (two multiply-add rounds mod 2^32,
+    take the top bit), the same oracle discipline as the simhash
+    polynomial token-hash family (``_poly_hash_tokens``)."""
+    x = (
+        np.arange(dim, dtype=np.uint64)[:, None] * np.uint64(n_planes)
+        + np.arange(n_planes, dtype=np.uint64)[None, :]
+        + np.uint64(1)
+    )
+    m32 = np.uint64(2**32 - 1)
+    h = (x * np.uint64(1000003) + np.uint64(12345)) & m32
+    h = (h * np.uint64(998244353) + np.uint64(987654321)) & m32
+    return np.where(h >= np.uint64(2**31), 1.0, -1.0)
+
+
 def embedding_dup_pairs(
-    ds, *, vec_col="embedding", id_col="vec_id", threshold=0.95, n_planes=12, seed=42
+    ds, *, vec_col="embedding", id_col="vec_id", threshold=0.95, n_planes=12
 ):
     """Near-duplicate vector pairs by cosine >= threshold.
 
-    Random-hyperplane LSH bucket groupby -> within-bucket exact cosine.
-    n_planes hyperplanes (seeded) give 2^n_planes buckets; near-identical
-    vectors collide with high probability."""
+    Hyperplane LSH bucket groupby -> within-bucket exact cosine.
+    n_planes hyperplanes give 2^n_planes buckets; near-identical vectors
+    collide with high probability and IDENTICAL vectors always collide.
+
+    The signature is bit-exact SQL-reproducible: coordinates are
+    quantized to integers (``floor(x * 2^20 + 0.5)`` — float64-exact in
+    any summation order, so numpy matmul and a SQL SUM agree to the
+    bit), and the planes are the deterministic ±1 family of
+    :func:`lsh_plane_signs`. The ``embedding_dup_pairs`` driver query's
+    DuckDB oracle recomputes buckets from the raw vectors and reproduces
+    the pipeline's exact pair set, LSH misses included."""
 
     def _bucketize(t: pa.Table) -> pa.Table:
         vecs = np.stack(t[vec_col].to_pylist()).astype(np.float64)
         dim = vecs.shape[1]
-        planes = np.random.default_rng([seed, dim]).standard_normal((dim, n_planes))
-        bits = (vecs @ planes) > 0
+        planes = lsh_plane_signs(dim, n_planes)
+        # integer-quantized projection: every product/sum is an integer
+        # well below 2^53, so the float64 matmul is EXACT regardless of
+        # accumulation order — no sign-flip risk vs the SQL oracle's
+        # sequential SUM
+        q = np.floor(vecs * _LSH_QSCALE + 0.5)
+        bits = (q @ planes) > 0
         bucket = bits @ (1 << np.arange(n_planes, dtype=np.int64))
         norm = np.linalg.norm(vecs, axis=1)
         norm[norm == 0] = 1.0

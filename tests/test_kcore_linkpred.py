@@ -215,6 +215,51 @@ def test_ktruss_nx_parity(ray_session):
         assert kt.n_iter_ >= 1
 
 
+def test_ktruss_incremental_sweeps_match_nx(ray_session):
+    """Force every post-seed sweep down the incremental path
+    (recount_frac=1.0 disables the adaptive full-recount fallback): the
+    W_mixed − W_RR decrement must reproduce nx.k_truss exactly, and only
+    sweep 1 may be a full wedge count (VERDICT r3 #4's sweep-cost
+    criterion — later sweeps touch only the removal's neighborhood)."""
+    from mercury_graph_ray.algos.ktruss import KTruss
+
+    for seed, k in ((13, 4), (29, 3)):
+        G, df = _gnm(150, 600, seed=seed)
+        kt = KTruss(k, n_parts=4, recount_frac=1.0, recount_min_edges=0).fit(
+            Graph(df)
+        )
+        got = (
+            sorted(map(tuple, kt.edges_.to_pandas()[["a", "b"]].to_numpy()))
+            if kt.edges_.count()
+            else []
+        )
+        want = sorted(tuple(sorted(e)) for e in nx.k_truss(G, k).edges())
+        assert got == want, f"seed={seed} k={k}"
+        assert kt.sweep_modes_[0] == "full"
+        assert all(m == "incr" for m in kt.sweep_modes_[1:]), kt.sweep_modes_
+        assert len(kt.sweep_modes_) == kt.n_iter_
+
+
+def test_ktruss_adaptive_picks_incremental_on_small_removal(ray_session):
+    """A K6 clique (every edge support 4, never peeled at k=4) plus one
+    pendant triangle (support-1 edges): sweep 2 removes only the small
+    triangle fringe — under the default recount_frac the sweep must take
+    the incremental path (recount_min_edges floored to 0 so the tiny
+    test graph exercises the scale path) and still match nx."""
+    from mercury_graph_ray.algos.ktruss import KTruss
+
+    K = nx.complete_graph(6)
+    K.add_edges_from([(0, 10), (1, 10)])  # triangle (0, 1, 10): support 1
+    df = pd.DataFrame(
+        {"src": [u for u, v in K.edges], "dst": [v for u, v in K.edges]}
+    )
+    kt = KTruss(4, n_parts=2, recount_min_edges=0).fit(Graph(df))
+    got = sorted(map(tuple, kt.edges_.to_pandas()[["a", "b"]].to_numpy()))
+    want = sorted(tuple(sorted(e)) for e in nx.k_truss(K, 4).edges())
+    assert got == want
+    assert "incr" in kt.sweep_modes_[1:], kt.sweep_modes_
+
+
 def test_ktruss_triangle_free_is_empty(ray_session):
     # a tree has no triangles: every edge has support 0, the 3-truss dies
     # in one sweep (+ the certifying one)
