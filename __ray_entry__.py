@@ -276,6 +276,73 @@ def _pagerank_oracle(iters: int = 20, alpha: float = 0.85) -> str:
     """
 
 
+def _pagerank_converged_oracle(
+    max_steps: int = 8, alpha: float = 0.85, tol: float = 1e-6
+) -> str:
+    """Converged PageRank (the tol-stop variant), exact in SQL.
+
+    The stop rule is deterministic dataflow too: the Ray side breaks at
+    the FIRST iterate whose L1 residual against the previous iterate is
+    < N·tol (algos/pagerank.py). The oracle unrolls ``max_steps`` power
+    iterations, computes every step's residual, and returns the first
+    step under the threshold — the same selection, reproduced to ~1e-13
+    because the Ray query ships float64 payloads. The residual margin is
+    wide (the threshold is N·tol = 1.6e-3 at sf0.01 while consecutive
+    residuals differ by ~alpha per step), so both sides pick the same
+    step; the Ray query raises if n_iter_ ever exceeds the unroll."""
+    steps = []
+    for k in range(1, max_steps + 1):
+        steps.append(
+            f"""r{k} AS MATERIALIZED (
+                SELECT i.id,
+                       (1 - {alpha}) / (SELECT n FROM nn)
+                       + {alpha} * (
+                           COALESCE(c.x, 0.0)
+                           + (SELECT sum(r.val) FROM r{k - 1} r
+                              WHERE r.id NOT IN (SELECT src FROM wout))
+                             / (SELECT n FROM nn)
+                       ) AS val
+                FROM ids i
+                LEFT JOIN (
+                    SELECT e.dst AS id, sum(r.val * e.weight / w.w_out) AS x
+                    FROM e
+                    JOIN r{k - 1} r ON r.id = e.src
+                    JOIN wout w ON w.src = e.src
+                    GROUP BY 1
+                ) c ON c.id = i.id
+            )"""
+        )
+    alln = "\n            UNION ALL ".join(
+        f"SELECT {k} AS k, id, val FROM r{k}" for k in range(1, max_steps + 1)
+    )
+    resid = "\n            UNION ALL ".join(
+        f"SELECT {k} AS k, (SELECT sum(abs(a.val - b.val)) "
+        f"FROM r{k} a JOIN r{k - 1} b ON a.id = b.id) AS d"
+        for k in range(1, max_steps + 1)
+    )
+    return f"""
+        WITH e AS (
+            SELECT 's' || l_suppkey AS src, 'c' || o_custkey AS dst,
+                   CAST(count(*) AS DOUBLE) AS weight
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        ),
+        ids AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ids),
+        wout AS (SELECT src, sum(weight) AS w_out FROM e GROUP BY 1),
+        r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS val FROM ids),
+        {",".join(steps)},
+        alln AS ({alln}),
+        resid AS ({resid}),
+        stop AS (
+            SELECT min(k) AS k FROM resid
+            WHERE d < (SELECT n FROM nn) * {tol}
+        )
+        SELECT id, round(val, 9) AS rank FROM alln
+        WHERE k = (SELECT k FROM stop) ORDER BY id
+    """
+
+
 def _ppr_oracle(seeds: tuple, iters: int = 20, alpha: float = 0.85) -> str:
     """Personalized PageRank unrolled ``iters`` steps (nx semantics with a
     uniform-over-seed-set personalization dict: teleport AND dangling mass
@@ -575,6 +642,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "label_propagation_supplier_customer": _lpa_oracle(10),
         "pagerank_fixed20_supplier_customer": _pagerank_oracle(20),
+        "pagerank_supplier_customer": _pagerank_converged_oracle(8),
         # Katz, 10 unrolled iterations from x0 = 0 on BINARY adjacency:
         # x_{k}(v) = beta + alpha * sum of x_{k-1} over in-neighbors
         "katz_fixed10_supplier_customer": f"""

@@ -111,6 +111,10 @@ def run_bench() -> dict:
         ),
         ("graph_degrees", lambda: tpch.graph_degrees(SF_DIR)),
         ("docs_exact_dedup", lambda: tpch.docs_exact_dedup(SF_DIR)),
+        # wedge-kernel family under the same regression watch as PageRank
+        # (VERDICT r3 #10): oriented triangle count over the sf part
+        # co-occurrence graph (~1.5M edges at sf0.1)
+        ("triangle_total_parts", lambda: tpch.triangle_total(SF_DIR)),
     ]
     raw: dict[str, list[float]] = {name: [] for name, _ in plan}
     for _ in range(max(1, REPEATS)):

@@ -597,15 +597,27 @@ def scc_heavy_part_sequence(sf_dir: str):
 
 
 def pagerank_supplier_customer(sf_dir: str):
-    """Converged PageRank on the supplier→customer graph (no SQL oracle —
-    iterative; parity is covered by the networkx suite in tests/)."""
+    """Converged PageRank on the supplier→customer graph. Now SQL-exact
+    (VERDICT r3 left this rows-only): the tol-stop rule is itself
+    deterministic, so the oracle unrolls 8 power steps, evaluates every
+    step's L1 residual and picks the first one under N·tol — the same
+    selection the engine makes (__ray_entry__._pagerank_converged_oracle).
+    float64 payloads so the dataflows agree to ~1e-13; drift alarm if
+    convergence ever needs more steps than the unroll."""
     from mercury_graph_ray.algos.pagerank import PageRank
-
     from mercury_graph_ray.graph import Graph
+    from mercury_graph_ray.pipelines.training_data import _round_half_away
 
-    pr = PageRank(n_parts=8).fit(Graph(supplier_customer_edges(sf_dir).materialize()))
+    pr = PageRank(n_parts=8, payload_dtype="float64").fit(
+        Graph(supplier_customer_edges(sf_dir).materialize())
+    )
+    if not pr.converged_ or pr.n_iter_ > 8:
+        raise RuntimeError(
+            f"converged={pr.converged_} n_iter={pr.n_iter_} exceeds the "
+            "oracle's 8-step unroll"
+        )
     df = pr.pagerank_.to_pandas()
-    df["rank"] = df["rank"].round(9)
+    df["rank"] = _round_half_away(df["rank"], 9)
     return df.sort_values("id").reset_index(drop=True)
 
 

@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 E = int(os.environ.get("GRAFT_SMOKE_EDGES", "4000000"))
 V = int(os.environ.get("GRAFT_SMOKE_VERTICES", "500000"))
 CPUS = int(os.environ.get("GRAFT_SMOKE_CPUS", "32"))
