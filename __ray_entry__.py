@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity_heavy_parts": tpch.assortativity_heavy_parts,
         "linkpred_jaccard_heavy_parts": tpch.linkpred_jaccard_heavy_parts,
         "kcore3_heavy_parts": tpch.kcore3_heavy_parts,
+        "mis_heavy_parts": tpch.mis_heavy_parts,
+        "coloring_heavy_parts": tpch.coloring_heavy_parts,
         "core_numbers_heavy_parts": tpch.core_numbers_heavy_parts,
         "edge_support_heavy_parts": tpch.edge_support_heavy_parts,
         "ktruss4_heavy_parts": tpch.ktruss4_heavy_parts,
@@ -85,6 +87,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_distribution": tpch.docs_lang_distribution,
         "docs_quality": td.docs_quality,
         "minhash_dedup_pairs": td.minhash_dedup_pairs,
+        "minhash_dedup_keep": td.minhash_dedup_keep,
+        "docs_length_quantiles": td.docs_length_quantiles,
+        "docs_stratified_by_lang": td.docs_stratified_by_lang,
         "simhash_dedup_pairs": td.simhash_dedup_pairs,
         "embedding_dup_pairs": td.embedding_dup_pairs,
         "embedding_similar_pairs": td.embedding_similar_pairs,
@@ -563,6 +568,146 @@ def _kcore_steps(k: int, rounds: int, prefix: str) -> list[str]:
     return steps
 
 
+def _minhash_keep_oracle() -> str:
+    """End-to-end dedup oracle: the exact MinHash-LSH pair pipeline
+    (:func:`_minhash_oracle`, nested as a subquery) + recursive-CTE
+    min-label transitive closure over the duplicate graph; every document
+    carries its cluster-minimum canonical_id (itself when unpaired) and
+    kept = 1 iff it is the canonical."""
+    inner = _minhash_oracle()
+    return f"""
+        WITH RECURSIVE
+        pq AS MATERIALIZED (SELECT a, b FROM ({inner})),
+        ee AS (SELECT a AS src, b AS dst FROM pq UNION SELECT b, a FROM pq),
+        reach(node, label) AS (
+            SELECT src, src FROM ee
+            UNION
+            SELECT ee.dst, r.label FROM reach r JOIN ee ON ee.src = r.node
+        ),
+        comp AS (
+            SELECT node AS doc_id, min(label) AS canonical_id
+            FROM reach GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(c.canonical_id, d.doc_id) AS canonical_id,
+               CAST(COALESCE(c.canonical_id, d.doc_id) = d.doc_id AS BIGINT)
+                   AS kept
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """
+
+
+def _mis_oracle(rounds: int = 10) -> str:
+    """Deterministic-priority Luby MIS, rounds unrolled (algos/mis.py).
+
+    The engine's priority is an LCG permutation of the dense vid, and
+    vids are assigned by value order of the distinct vertex keys
+    (stages/ids.py), so SQL reproduces it exactly:
+    ``prio = (((row_number() OVER (ORDER BY id) - 1)*A + B) % M * A2 + B2) % M``.
+    Round t: (1) undecided vertices adjacent to a round-(t-1) joiner are
+    excluded; (2) remaining undecided v joins iff prio(v) < min prio over
+    neighbors undecided at round start. The Ray query raises if the engine
+    needs more rounds than the unroll."""
+    steps = []
+    for t in range(1, rounds + 1):
+        steps.append(
+            f"""x{t} AS MATERIALIZED (
+                SELECT DISTINCT e.a AS id FROM ee e
+                JOIN n{t - 1} w ON w.id = e.b
+                JOIN u{t - 1} u ON u.id = e.a
+            ),
+            up{t} AS MATERIALIZED (
+                SELECT id FROM u{t - 1} EXCEPT SELECT id FROM x{t}
+            ),
+            n{t} AS MATERIALIZED (
+                SELECT v.id FROM up{t} v JOIN pr p ON p.id = v.id
+                WHERE p.prio < COALESCE((
+                    SELECT min(p2.prio) FROM ee e
+                    JOIN u{t - 1} u2 ON u2.id = e.b
+                    JOIN pr p2 ON p2.id = e.b
+                    WHERE e.a = v.id), 4611686018427387904)
+            ),
+            u{t} AS MATERIALIZED (
+                SELECT id FROM up{t} EXCEPT SELECT id FROM n{t}
+            )"""
+        )
+    members = " UNION ".join(f"SELECT id FROM n{t}" for t in range(1, rounds + 1))
+    return f"""
+        WITH ee0 AS MATERIALIZED ({_HEAVY_PAIRS}),
+        ee AS MATERIALIZED (
+            SELECT a, b FROM ee0 UNION ALL SELECT b AS a, a AS b FROM ee0
+        ),
+        u0 AS MATERIALIZED (SELECT DISTINCT a AS id FROM ee),
+        n0 AS (SELECT id FROM u0 WHERE 1 = 0),
+        pr AS MATERIALIZED (
+            SELECT id,
+                   (((row_number() OVER (ORDER BY id) - 1) * 1000003 + 12345)
+                    % 2147483647 * 999983 + 54321) % 2147483647 AS prio
+            FROM u0
+        ),
+        {",".join(steps)}
+        SELECT id FROM ({members}) ORDER BY id
+    """
+
+
+def _coloring_oracle(rounds: int = 18, mex_cap: int = 64) -> str:
+    """Jones-Plassmann coloring unrolled to the fixpoint (algos/coloring).
+
+    Same vid-rank priority as :func:`_mis_oracle`. Wave 0 colors the
+    local priority maxima with 0; wave t colors every uncolored vertex
+    whose higher-priority neighbors are all colored, with the smallest
+    color (mex, searched over 0..mex_cap >= max degree) unused by them.
+    The final coloring is schedule independent, so any unroll >= the
+    longest decreasing-priority path matches the engine; the Ray query
+    raises if the engine's wave count approaches the unroll."""
+    steps = []
+    for t in range(1, rounds + 1):
+        steps.append(
+            f"""c{t} AS MATERIALIZED (
+                SELECT id, color FROM c{t - 1}
+                UNION ALL
+                SELECT v.id,
+                       (SELECT min(g.x)
+                        FROM generate_series(0, {mex_cap}) g(x)
+                        WHERE g.x NOT IN (
+                            SELECT c.color FROM ee e
+                            JOIN c{t - 1} c ON c.id = e.b
+                            JOIN pr p2 ON p2.id = e.b
+                            WHERE e.a = v.id AND p2.prio > v.prio
+                        )) AS color
+                FROM pr v
+                WHERE v.id NOT IN (SELECT id FROM c{t - 1})
+                  AND NOT EXISTS (
+                      SELECT 1 FROM ee e JOIN pr p2 ON p2.id = e.b
+                      WHERE e.a = v.id AND p2.prio > v.prio
+                        AND e.b NOT IN (SELECT id FROM c{t - 1})
+                  )
+            )"""
+        )
+    return f"""
+        WITH ee0 AS MATERIALIZED ({_HEAVY_PAIRS}),
+        ee AS MATERIALIZED (
+            SELECT a, b FROM ee0 UNION ALL SELECT b AS a, a AS b FROM ee0
+        ),
+        u0 AS MATERIALIZED (SELECT DISTINCT a AS id FROM ee),
+        pr AS MATERIALIZED (
+            SELECT id,
+                   (((row_number() OVER (ORDER BY id) - 1) * 1000003 + 12345)
+                    % 2147483647 * 999983 + 54321) % 2147483647 AS prio
+            FROM u0
+        ),
+        c0 AS MATERIALIZED (
+            SELECT v.id, 0 AS color FROM pr v
+            WHERE NOT EXISTS (
+                SELECT 1 FROM ee e JOIN pr p2 ON p2.id = e.b
+                WHERE e.a = v.id AND p2.prio > v.prio
+            )
+        ),
+        {",".join(steps)}
+        SELECT id, color FROM c{rounds} ORDER BY id
+    """
+
+
 def _kcore_oracle(k: int = 3, rounds: int = 24) -> str:
     """Fixed-k core by unrolled peeling. The peel reaches its fixpoint
     in ~6 rounds at sf0.01 (the Ray query asserts n_iter_ <= 20, so 24
@@ -709,6 +854,31 @@ def oracle_sql() -> dict[str, str]:
         "hits_supplier_customer": _hits_oracle(20),
         "ppr_fixed20_supplier_seeds": _ppr_oracle(("s1", "s2", "s3"), 20),
         "minhash_dedup_pairs": _minhash_oracle(),
+        "minhash_dedup_keep": _minhash_keep_oracle(),
+        # exact quantiles: pinned rank rule cum >= ceil(q*N)
+        "docs_length_quantiles": """
+            WITH h AS (SELECT n_chars AS v, count(*) AS cnt
+                       FROM documents GROUP BY 1),
+            t AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM h),
+            n AS (SELECT count(*) AS c FROM documents)
+            SELECT q,
+                   (SELECT min(v) FROM t
+                    WHERE cum >= greatest(1, ceil(q * (SELECT c FROM n))))
+                       AS value
+            FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) AS qs(q)
+            ORDER BY q
+        """,
+        # deterministic stratified sampling: the LCG keep-predicate on
+        # doc_id, replayed verbatim (stages/sample.keep_mask)
+        "docs_stratified_by_lang": """
+            SELECT doc_id, lang FROM documents
+            WHERE (((doc_id * 1000003 + 12345) % 2147483647)
+                   * 999983 + 54321) % 2147483647
+                  < CAST(floor(CASE lang WHEN 'en' THEN 0.3
+                                         WHEN 'de' THEN 0.7
+                                         ELSE 1.0 END * 2147483647) AS BIGINT)
+            ORDER BY doc_id
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)                          AS sum_qty,
@@ -903,6 +1073,8 @@ def oracle_sql() -> dict[str, str]:
             FROM scored ORDER BY j DESC, a, b LIMIT 20
         """,
         "kcore3_heavy_parts": _kcore_oracle(k=3, rounds=24),
+        "mis_heavy_parts": _mis_oracle(rounds=10),
+        "coloring_heavy_parts": _coloring_oracle(rounds=18),
         "ktruss4_heavy_parts": _ktruss_oracle(k=4, rounds=6),
         "core_numbers_heavy_parts": _core_numbers_oracle(kmax=4, rounds=24),
         # transitivity = 3 * triangles / wedges on the heavy part graph;

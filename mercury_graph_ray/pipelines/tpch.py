@@ -472,6 +472,36 @@ def ktruss4_heavy_parts(sf_dir: str):
     return kt.edges_.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def mis_heavy_parts(sf_dir: str):
+    """Maximal independent set of the heavy part graph under the
+    deterministic LCG priority over dense vids (algos/mis.py) — the SQL
+    oracle replays the Luby rounds exactly (vid = row_number over sorted
+    ids, 10-round unroll with a drift alarm at 7)."""
+    from mercury_graph_ray.algos.mis import MaximalIndependentSet
+
+    mis = MaximalIndependentSet(n_parts=8).fit(_heavy_part_graph(sf_dir))
+    if mis.n_iter_ > 7:  # not assert: must survive python -O
+        raise RuntimeError(
+            f"MIS rounds {mis.n_iter_} approach the oracle's 10-step unroll"
+        )
+    return mis.mis_.to_pandas().sort_values("id").reset_index(drop=True)
+
+
+def coloring_heavy_parts(sf_dir: str):
+    """Jones-Plassmann greedy coloring of the heavy part graph
+    (algos/coloring.py) — schedule-independent given the deterministic
+    priority, so the SQL oracle unrolls waves to the fixpoint (18, with
+    a drift alarm at 15 engine waves)."""
+    from mercury_graph_ray.algos.coloring import GreedyColoring
+
+    gc = GreedyColoring(n_parts=8).fit(_heavy_part_graph(sf_dir))
+    if gc.n_iter_ > 15:  # not assert: must survive python -O
+        raise RuntimeError(
+            f"coloring waves {gc.n_iter_} approach the oracle's 18-step unroll"
+        )
+    return gc.colors_.to_pandas().sort_values("id").reset_index(drop=True)
+
+
 def kcore3_heavy_parts(sf_dir: str):
     """Vertex set of the 3-core of the heavy part graph (6 peel rounds
     at sf0.01; the SQL oracle unrolls 24 — assert n_iter_ stays under

@@ -62,6 +62,73 @@ def minhash_dedup_pairs(sf_dir: str):
     return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def docs_length_quantiles(sf_dir: str):
+    """Exact p25/p50/p75/p90/p99 of document length (stages/quantile:
+    per-batch value-count pre-combine + small histogram groupby; the
+    oracle reproduces the pinned rank rule cum >= ceil(q*N))."""
+    from mercury_graph_ray.stages.quantile import exact_quantiles
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+    out = exact_quantiles(ds, "n_chars", (0.25, 0.5, 0.75, 0.9, 0.99))
+    out["value"] = out["value"].astype(np.int64)
+    return out.sort_values("q").reset_index(drop=True)
+
+
+def docs_stratified_by_lang(sf_dir: str):
+    """Deterministic stratified downsample (stages/sample): keep 30% of
+    'en', 70% of 'de', everything else — the LCG keep-predicate on
+    doc_id is replayed verbatim by the SQL oracle."""
+    from mercury_graph_ray.stages.sample import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = stratified_sample(
+        ds, "doc_id", "lang", {"en": 0.3, "de": 0.7}, default_rate=1.0
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def minhash_dedup_keep(sf_dir: str):
+    """End-to-end near-duplicate deduplication — what a real corpus
+    pipeline runs: MinHash-LSH candidate pairs (same parameters as
+    ``minhash_dedup_pairs``) -> connected components over the duplicate
+    graph (algos/connected_components, min-label BSP) -> canonical doc
+    = the cluster's minimum doc_id; documents in no pair are their own
+    canonical. Returns (doc_id, canonical_id, kept) for EVERY document,
+    kept = 1 iff the doc survives dedup. The SQL oracle replays the
+    signature pipeline plus a recursive-CTE min-label closure."""
+    from mercury_graph_ray.algos.connected_components import ConnectedComponents
+    from mercury_graph_ray.graph import Graph
+    from mercury_graph_ray.stages.dedup import minhash_lsh_pairs
+    from mercury_graph_ray.stages.join import auto_join
+    from mercury_graph_ray.stages.util import rename_cols
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    ids = docs.select_columns(["doc_id"])
+    pairs = (
+        minhash_lsh_pairs(docs, threshold=0.5, bands=32, concurrency=2)
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+    if pairs.count() == 0:
+        out = ids.to_pandas()
+        out["canonical_id"] = out["doc_id"]
+        out["kept"] = np.int64(1)
+        return out.sort_values("doc_id").reset_index(drop=True)
+    cc = ConnectedComponents(n_parts=4).fit(
+        Graph(rename_cols(pairs, {"a": "src", "b": "dst"}))
+    )
+    comp = rename_cols(
+        cc.components_.select_columns(["id", "component"]),
+        {"id": "doc_id", "component": "canonical_id"},
+    )
+    joined = auto_join(ids, comp, on=("doc_id",), how="left").to_pandas()
+    joined["canonical_id"] = (
+        joined["canonical_id"].fillna(joined["doc_id"]).astype(np.int64)
+    )
+    joined["kept"] = (joined["canonical_id"] == joined["doc_id"]).astype(np.int64)
+    return joined.sort_values("doc_id").reset_index(drop=True)
+
+
 def simhash_dedup_pairs(sf_dir: str):
     """max_hamming=3 (was 6 in round 2 — re-pinned): with 4 x 16-bit
     pigeonhole bands, recall is GUARANTEED only for <=3 bit flips, which
