@@ -135,33 +135,45 @@ class Node2Vec(BaseClass):
         paths = paths.map_batches(_flt, batch_format="pyarrow").materialize()
         self.paths_ = paths
 
-        # ---- vocab: distributed distinct over the flattened tokens
-        # (per-batch unique pre-combine + int-bucket dedup, the
-        # stages/ids.py discipline), collected ONLY as the bounded sorted
-        # vocabulary the driver-side trainer needs anyway
-        def _uniq_tokens(t: pa.Table) -> pa.Table:
+        # ---- vocab: distributed token FREQUENCIES over the flattened
+        # walks (per-batch value-count pre-combine + int-bucket sum, the
+        # stages/ids.py discipline), collected ONLY as the bounded
+        # (token, count) table the driver-side trainer needs anyway —
+        # counts let gensim skip its own full corpus vocab-scan pass
+        # (build_vocab_from_freq below), so the corpus crosses the driver
+        # exactly ``epochs`` times, never for bookkeeping
+        def _token_counts(t: pa.Table) -> pa.Table:
             flat = pc.list_flatten(t["random_walks"].combine_chunks())
             # vocab is string-typed regardless of key dtype (historic
             # contract: node_ids are str, get_most_similar_nodes looks up
             # str(node_id))
-            s = pa.table({"t": flat}).to_pandas()["t"].astype(str).drop_duplicates()
+            vc = pa.table({"t": flat}).to_pandas()["t"].astype(str).value_counts()
+            s = vc.index.to_series().reset_index(drop=True)
             h = pd.util.hash_pandas_object(s, index=False).to_numpy(np.uint64)
             return pa.table(
                 {"token": pa.array(s, pa.string()),
+                 "cnt": pa.array(vc.to_numpy(np.int64)),
                  "__bkt": pa.array((h % np.uint64(16)).astype(np.int64))}
             )
 
         vocab_df = (
-            paths.map_batches(_uniq_tokens, batch_format="pyarrow")
+            paths.map_batches(_token_counts, batch_format="pyarrow")
             .groupby("__bkt")
-            .map_groups(lambda gr: gr[["token"]].drop_duplicates(), batch_format="pandas")
+            .map_groups(
+                lambda gr: gr.groupby("token", as_index=False)["cnt"].sum(),
+                batch_format="pandas",
+            )
             .to_pandas()
         )
-        vocab_arr = (
-            np.sort(vocab_df["token"].to_numpy())
-            if "token" in vocab_df.columns and len(vocab_df)
-            else np.empty(0, object)
-        )
+        if "token" in vocab_df.columns and len(vocab_df):
+            vocab_df = vocab_df.sort_values("token").reset_index(drop=True)
+            vocab_arr = vocab_df["token"].to_numpy()
+            token_freq = dict(
+                zip(vocab_df["token"], vocab_df["cnt"].astype(int))
+            )
+        else:
+            vocab_arr = np.empty(0, object)
+            token_freq = {}
         vocab = vocab_arr.tolist()
         self.node_ids = vocab
         # broadcast as a fixed-width 'U' array: zero-copy-ish numpy
@@ -197,13 +209,22 @@ class Node2Vec(BaseClass):
             from gensim.models import Word2Vec  # noqa: F401
 
             # gensim consumes the restartable sentence stream directly —
-            # the int pair Dataset is never built, let alone collected
+            # the int pair Dataset is never built, let alone collected.
+            # The vocabulary is fed from the DISTRIBUTED frequency table
+            # (build_vocab_from_freq), so gensim's own vocab-scan pass —
+            # one extra full-corpus pull through the driver — never runs:
+            # the corpus streams through exactly ``w2v_epochs`` times.
             model = Word2Vec(
-                _SentenceStream(paths),
                 vector_size=self.dimension,
                 epochs=self.w2v_epochs,
                 seed=self.seed,
                 min_count=1,
+            )
+            model.build_vocab_from_freq(token_freq)
+            model.train(
+                _SentenceStream(paths),
+                total_examples=paths.count(),
+                epochs=self.w2v_epochs,
             )
             self._vectors = np.stack([model.wv[w] for w in vocab])
             self.trainer_ = "gensim"

@@ -73,3 +73,63 @@ def test_sampling_ratio_and_similarity(ray_session, tmp_path):
     nv2 = Node2Vec.load(path)
     assert nv2.node_ids == nv.node_ids
     np.testing.assert_array_equal(nv2._vectors, nv._vectors)
+
+
+def test_gensim_path_streams_with_prebuilt_vocab(ray_session, monkeypatch):
+    """The gensim branch must (a) feed the DISTRIBUTED frequency table to
+    build_vocab_from_freq — never let gensim scan the corpus itself —
+    and (b) hand train() a RESTARTABLE iterable (gensim re-iterates per
+    epoch). Verified with an injected fake gensim module."""
+    import sys
+    import types
+
+    calls = {}
+
+    class FakeWv:
+        def __init__(self, dim):
+            self.dim = dim
+            self.words = []
+
+        def __getitem__(self, w):
+            # deterministic per-token vector
+            rng = np.random.default_rng(abs(hash(w)) % (2**32))
+            return rng.standard_normal(self.dim).astype(np.float32)
+
+    class FakeWord2Vec:
+        def __init__(self, vector_size, epochs, seed, min_count):
+            calls["ctor"] = dict(vector_size=vector_size, epochs=epochs,
+                                 seed=seed, min_count=min_count)
+            self.wv = FakeWv(vector_size)
+
+        def build_vocab_from_freq(self, freq):
+            calls["freq"] = dict(freq)
+
+        def train(self, sentences, total_examples, epochs):
+            # two full passes must yield identical corpora (restartable)
+            p1 = [tuple(s) for s in sentences]
+            p2 = [tuple(s) for s in sentences]
+            assert p1 == p2 and len(p1) == total_examples
+            calls["sentences"] = p1
+            calls["total_examples"] = total_examples
+            calls["epochs"] = epochs
+
+    gensim = types.ModuleType("gensim")
+    models = types.ModuleType("gensim.models")
+    models.Word2Vec = FakeWord2Vec
+    gensim.models = models
+    monkeypatch.setitem(sys.modules, "gensim", gensim)
+    monkeypatch.setitem(sys.modules, "gensim.models", models)
+
+    nv = Node2Vec(dimension=6, num_epochs=5, w2v_epochs=3, seed=7, n_parts=2)
+    nv.fit(deadend4())
+    assert nv.trainer_ == "gensim"
+    assert calls["ctor"]["vector_size"] == 6 and calls["epochs"] == 3
+
+    # the fed frequencies must equal an exact driver-side recount of the
+    # streamed corpus — proof no separate vocab scan is needed
+    from collections import Counter
+
+    recount = Counter(t for s in calls["sentences"] for t in s)
+    assert calls["freq"] == dict(recount)
+    assert sorted(calls["freq"]) == nv.node_ids
+    assert nv._vectors.shape == (len(nv.node_ids), 6)
