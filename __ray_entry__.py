@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": td.docs_quality,
         "minhash_dedup_pairs": td.minhash_dedup_pairs,
         "minhash_dedup_keep": td.minhash_dedup_keep,
+        "docs_top50_tokens": td.docs_top50_tokens,
+        "docs_lexical_stats": td.docs_lexical_stats,
         "docs_length_quantiles": td.docs_length_quantiles,
         "docs_stratified_by_lang": td.docs_stratified_by_lang,
         "simhash_dedup_pairs": td.simhash_dedup_pairs,
@@ -855,6 +857,34 @@ def oracle_sql() -> dict[str, str]:
         "ppr_fixed20_supplier_seeds": _ppr_oracle(("s1", "s2", "s3"), 20),
         "minhash_dedup_pairs": _minhash_oracle(),
         "minhash_dedup_keep": _minhash_keep_oracle(),
+        # pinned tokenization: lowercase [a-z]+ runs (stages/tokens.py)
+        "docs_top50_tokens": """
+            SELECT token, count(*) AS cnt FROM (
+                SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                           AS token
+                FROM documents)
+            GROUP BY token ORDER BY cnt DESC, token LIMIT 50
+        """,
+        "docs_lexical_stats": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+            agg AS (
+                SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_types,
+                       sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax
+                FROM tf GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(a.n_types, 0) AS BIGINT)  AS n_types,
+                   CAST(COALESCE(a.n_hapax, 0) AS BIGINT)  AS n_hapax,
+                   COALESCE(round(a.n_types / a.n_tokens, 6), 0.0) AS ttr
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         # exact quantiles: pinned rank rule cum >= ceil(q*N)
         "docs_length_quantiles": """
             WITH h AS (SELECT n_chars AS v, count(*) AS cnt

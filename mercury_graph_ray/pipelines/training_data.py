@@ -87,6 +87,28 @@ def docs_stratified_by_lang(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_top50_tokens(sf_dir: str):
+    """Exact corpus-wide 50 most frequent tokens (stages/tokens:
+    per-batch value-count partials -> bucketed vocab sum -> per-bucket
+    partial top-k -> driver merge of the tiny candidate set)."""
+    from mercury_graph_ray.stages.tokens import top_tokens
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return top_tokens(ds, "text", 50)
+
+
+def docs_lexical_stats(sf_dir: str):
+    """Per-document lexical diversity (stages/tokens.lexical_stats):
+    token/type/hapax counts + type-token ratio, map-only."""
+    from mercury_graph_ray.stages.tokens import lexical_stats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: lexical_stats(b, "doc_id", "text"), batch_format="pandas"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def minhash_dedup_keep(sf_dir: str):
     """End-to-end near-duplicate deduplication — what a real corpus
     pipeline runs: MinHash-LSH candidate pairs (same parameters as
