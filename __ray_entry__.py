@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs": td.minhash_dedup_pairs,
         "minhash_dedup_keep": td.minhash_dedup_keep,
         "docs_top50_tokens": td.docs_top50_tokens,
+        "docs_pii_scrub": td.docs_pii_scrub,
         "docs_lexical_stats": td.docs_lexical_stats,
         "docs_length_quantiles": td.docs_length_quantiles,
         "docs_stratified_by_lang": td.docs_stratified_by_lang,
@@ -570,6 +571,45 @@ def _kcore_steps(k: int, rounds: int, prefix: str) -> list[str]:
     return steps
 
 
+def _pii_scrub_oracle() -> str:
+    """Replays the seeded-contact injection and the pinned two-stage
+    email-then-phone scrub (functions/scrub.py) in DuckDB RE2."""
+    from mercury_graph_ray.functions.scrub import (
+        EMAIL_PATTERN,
+        EMAIL_TOKEN,
+        PHONE_PATTERN,
+        PHONE_TOKEN,
+    )
+
+    sql = """
+        WITH inj AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN
+                       text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or +1 555 '
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            || '.'
+                   ELSE text END AS t
+            FROM documents
+        ),
+        e AS (
+            SELECT doc_id, t,
+                   len(regexp_extract_all(t, '@EM@')) AS ne,
+                   regexp_replace(t, '@EM@', '@ETOK@', 'g') AS t1
+            FROM inj
+        )
+        SELECT doc_id,
+               CAST(ne + len(regexp_extract_all(t1, '@PH@')) AS BIGINT)
+                   AS n_redactions,
+               regexp_replace(t1, '@PH@', '@PTOK@', 'g') AS text
+        FROM e ORDER BY doc_id
+    """
+    for k, v in (("@EM@", EMAIL_PATTERN), ("@PH@", PHONE_PATTERN),
+                 ("@ETOK@", EMAIL_TOKEN), ("@PTOK@", PHONE_TOKEN)):
+        sql = sql.replace(k, v)
+    return sql
+
+
 def _minhash_keep_oracle() -> str:
     """End-to-end dedup oracle: the exact MinHash-LSH pair pipeline
     (:func:`_minhash_oracle`, nested as a subquery) + recursive-CTE
@@ -857,6 +897,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_fixed20_supplier_seeds": _ppr_oracle(("s1", "s2", "s3"), 20),
         "minhash_dedup_pairs": _minhash_oracle(),
         "minhash_dedup_keep": _minhash_keep_oracle(),
+        "docs_pii_scrub": _pii_scrub_oracle(),
         # pinned tokenization: lowercase [a-z]+ runs (stages/tokens.py)
         "docs_top50_tokens": """
             SELECT token, count(*) AS cnt FROM (

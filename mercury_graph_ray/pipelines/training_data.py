@@ -109,6 +109,41 @@ def docs_lexical_stats(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_pii_scrub(sf_dir: str):
+    """Email/phone redaction (functions/scrub) over documents that are
+    SEEDED with deterministic contact strings (doc_id % 5 == 0 gets an
+    email + a phone appended, mirrored verbatim by the SQL oracle) so
+    the query can never pass vacuously on contact-free synthetic text.
+    Returns (doc_id, n_redactions, text) with the full scrubbed text
+    hash-checked."""
+    from mercury_graph_ray.functions.scrub import scrub_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _inject(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        mask = ids % 5 == 0
+        suffix = pd.Series(
+            [
+                f" Contact: user{i}@example.com or +1 555 {i % 10000:04d}."
+                for i in ids
+            ],
+            index=b.index,
+        )
+        out = b.copy()
+        out["text"] = np.where(mask, b["text"] + suffix, b["text"])
+        return out
+
+    out = (
+        ds.map_batches(_inject, batch_format="pandas")
+        .map_batches(scrub_batch, batch_format="pandas")
+        .to_pandas()
+    )
+    if int(out["n_redactions"].sum()) == 0:  # not assert: survives python -O
+        raise RuntimeError("PII scrub query is vacuous: zero redactions")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def minhash_dedup_keep(sf_dir: str):
     """End-to-end near-duplicate deduplication — what a real corpus
     pipeline runs: MinHash-LSH candidate pairs (same parameters as
