@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_keep": td.minhash_dedup_keep,
         "docs_top50_tokens": td.docs_top50_tokens,
         "docs_pii_scrub": td.docs_pii_scrub,
+        "docs_tfidf_top_term": td.docs_tfidf_top_term,
         "docs_lexical_stats": td.docs_lexical_stats,
         "docs_length_quantiles": td.docs_length_quantiles,
         "docs_stratified_by_lang": td.docs_stratified_by_lang,
@@ -898,6 +899,26 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_pairs": _minhash_oracle(),
         "minhash_dedup_keep": _minhash_keep_oracle(),
         "docs_pii_scrub": _pii_scrub_oracle(),
+        "docs_tfidf_top_term": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                   FROM toks GROUP BY 1, 2),
+            dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+                    FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS c FROM documents),
+            s AS (SELECT doc_id, token, tf, df,
+                         tf * ln((SELECT c FROM n) * 1.0 / df) AS score
+                  FROM tf JOIN dfq USING (token)),
+            r AS (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY score DESC, token) AS rk
+                  FROM s)
+            SELECT doc_id, token, tf, df, round(score, 6) AS score
+            FROM r WHERE rk = 1 ORDER BY doc_id
+        """,
         # pinned tokenization: lowercase [a-z]+ runs (stages/tokens.py)
         "docs_top50_tokens": """
             SELECT token, count(*) AS cnt FROM (

@@ -109,6 +109,20 @@ def docs_lexical_stats(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_tfidf_top_term(sf_dir: str):
+    """Each document's single highest-TF-IDF term (stages/tfidf):
+    tf map-only, df over the bounded vocabulary, adaptive tf x df join,
+    bucketed per-doc top-k. Ties (equal tf and df give bit-equal scores)
+    break on token ASC on both sides."""
+    from mercury_graph_ray.stages.tfidf import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tfidf_top_terms(ds, "doc_id", "text", k=1)
+    out["tf"] = out["tf"].astype(np.int64)
+    out["df"] = out["df"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def docs_pii_scrub(sf_dir: str):
     """Email/phone redaction (functions/scrub) over documents that are
     SEEDED with deterministic contact strings (doc_id % 5 == 0 gets an
