@@ -477,3 +477,70 @@ def knn_ivf_vs_brute(sf_dir: str, k: int = 10, n_queries: int = 8):
         a = set(approx.loc[approx["query"] == qid, "vec_id"])
         recalls.append(len(e & a) / max(1, len(e)))
     return pd.DataFrame({"query": qids, "recall": recalls})
+
+
+# -- round-4 corpus-QC family: decontamination, repetition, unigram LM --
+
+# Canary strings for the decontamination contract query: benchmark text
+# that cannot occur in the synthetic corpus naturally (tokens outside its
+# vocabulary), INJECTED deterministically on both sides (the SQL oracle
+# mirrors the injection verbatim, the docs_pii_scrub pattern) so the
+# query can never pass vacuously.
+CANARY_A = "the quick brown fox jumps over the lazy benchmark dog"
+CANARY_B = "colorless green benchmark ideas sleep furiously tonight"
+
+
+def docs_decontaminate(sf_dir: str):
+    """Benchmark n-gram decontamination scan (stages/decontam): docs with
+    doc_id % 17 == 0 get CANARY_A appended, % 23 == 0 CANARY_B (both for
+    ids divisible by 17*23); the benchmark shingle set is built from the
+    two canaries and broadcast once; returns (doc_id, n_hits) for every
+    contaminated document."""
+    from mercury_graph_ray.stages.decontam import (
+        benchmark_shingles,
+        contamination_scan,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _inject(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy()
+        t = b["text"].copy()
+        t = np.where(ids % 17 == 0, t + " " + CANARY_A, t)
+        t = np.where(ids % 23 == 0, t + " " + CANARY_B, t)
+        out = b.copy()
+        out["text"] = t
+        return out
+
+    bench = benchmark_shingles([CANARY_A, CANARY_B])
+    out = contamination_scan(
+        ds.map_batches(_inject, batch_format="pandas"), bench
+    ).to_pandas()
+    if not len(out):  # not assert: survives python -O
+        raise RuntimeError("decontamination query is vacuous: zero hits")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_repetition_signals(sf_dir: str):
+    """Gopher-style repetition signals (stages/repetition): per-doc
+    duplicate-shingle position fraction + most-frequent-token mass,
+    map-only."""
+    from mercury_graph_ray.stages.repetition import repetition_signals
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: repetition_signals(b, "doc_id", "text"), batch_format="pandas"
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_unigram_nll(sf_dir: str):
+    """Unigram-LM quality score (stages/unigram_lm): fit corpus token
+    frequencies (bucketed vocab groupby), broadcast the log-prob table,
+    score nll = -mean log p(token) per document."""
+    from mercury_graph_ray.stages.unigram_lm import fit_unigram, score_nll
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    vocab = fit_unigram(ds, "text")
+    out = score_nll(ds, vocab).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

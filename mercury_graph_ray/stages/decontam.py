@@ -1,0 +1,98 @@
+"""Benchmark decontamination: n-gram collision scan over a document corpus.
+
+Training-data curation must drop (or flag) web documents that contain
+text from evaluation benchmarks — the classic 13-gram / char-shingle
+overlap scan (GPT-3 appendix C, The Pile, Dolma all ship a variant).
+Beyond-ref operator (SURVEY.md §2.11 family).
+
+Scale shape (the 100-TB reading):
+
+- The benchmark side is SMALL by definition (eval suites are MBs, the
+  corpus is TBs): its distinct shingle hashes are built once, sorted,
+  and broadcast via ``ray.put`` — every scan task reads the same
+  object-store copy zero-copy; nothing is re-shipped per batch.
+- The corpus side is a single stateless ``map_batches`` pass: per
+  document one vectorized ``shingle_hashes`` call (UTF-32 polynomial
+  hashing, no Python per-shingle work — ``stages/dedup.py``) and one
+  ``np.searchsorted`` membership probe against the sorted benchmark
+  array. No shuffle at all; output is the (doc_id, n_hits) table of
+  contaminated documents.
+- Hashes are 64-bit, so membership-by-hash equals membership-by-string
+  up to a ~(n_shingles^2 / 2^65) collision probability — negligible at
+  benchmark sizes (10^7 shingles -> ~3e-6); the SQL oracle compares on
+  raw shingle strings and agrees empirically.
+
+Shingles are k-character n-grams over whitespace-normalized lowercase
+text — the exact normalization ``stages/dedup.shingle_hashes`` pins
+(`" ".join(text.split()).lower()`), reproduced in SQL as
+``lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))`` with
+``substr``/``generate_series`` enumeration.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from mercury_graph_ray.stages.dedup import shingle_hashes
+
+DEFAULT_K = 20
+
+
+def benchmark_shingles(texts, k: int = DEFAULT_K) -> np.ndarray:
+    """Sorted unique shingle hashes of the benchmark texts.
+
+    ``texts`` is a list/Series of benchmark strings (eval questions,
+    answers, canary strings). Small side by contract — built on the
+    driver; for a benchmark that is itself a Dataset, map
+    ``shingle_hashes`` per batch and ``np.unique``-merge the partials.
+    """
+    parts = [shingle_hashes(t, k) for t in texts if len(t) >= 1]
+    if not parts:
+        return np.array([], np.uint64)
+    return np.unique(np.concatenate(parts))
+
+
+def contamination_scan(
+    ds,
+    bench: np.ndarray,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_K,
+):
+    """Dataset of ``(id_col, n_hits)`` for documents sharing >= 1 distinct
+    k-shingle with the benchmark set (``n_hits`` = count of the document's
+    DISTINCT shingles that appear in ``bench``).
+
+    ``bench`` is broadcast once via ``ray.put``; each map task reads it
+    zero-copy from the object store.
+    """
+    import ray
+
+    bench = np.asarray(bench, np.uint64)
+    bench_ref = ray.put(bench)
+
+    class _Scan:
+        def __init__(self):
+            self.bench = ray.get(bench_ref)  # once per actor, zero-copy
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids, hits = [], []
+            b = self.bench
+            for doc_id, text in zip(batch[id_col].to_numpy(),
+                                    batch[text_col].to_numpy()):
+                sh = shingle_hashes(text, k)  # sorted unique
+                if len(sh) and len(b):
+                    pos = np.searchsorted(b, sh)
+                    pos[pos == len(b)] = 0
+                    n = int((b[pos] == sh).sum())
+                else:
+                    n = 0
+                if n:
+                    ids.append(doc_id)
+                    hits.append(n)
+            return pd.DataFrame({id_col: np.asarray(ids, np.int64),
+                                 "n_hits": np.asarray(hits, np.int64)})
+
+    return ds.map_batches(_Scan, concurrency=(1, 8), batch_format="pandas")
