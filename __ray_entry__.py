@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity_heavy_parts": tpch.assortativity_heavy_parts,
         "linkpred_jaccard_heavy_parts": tpch.linkpred_jaccard_heavy_parts,
         "kcore3_heavy_parts": tpch.kcore3_heavy_parts,
+        "dag_longest_path_heavy_parts": tpch.dag_longest_path_heavy_parts,
         "mis_heavy_parts": tpch.mis_heavy_parts,
         "coloring_heavy_parts": tpch.coloring_heavy_parts,
         "core_numbers_heavy_parts": tpch.core_numbers_heavy_parts,
@@ -92,6 +93,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_scrub": td.docs_pii_scrub,
         "docs_tfidf_top_term": td.docs_tfidf_top_term,
         "docs_lexical_stats": td.docs_lexical_stats,
+        "docs_decontaminate": td.docs_decontaminate,
+        "docs_repetition_signals": td.docs_repetition_signals,
+        "docs_unigram_nll": td.docs_unigram_nll,
         "docs_length_quantiles": td.docs_length_quantiles,
         "docs_stratified_by_lang": td.docs_stratified_by_lang,
         "simhash_dedup_pairs": td.simhash_dedup_pairs,
@@ -751,6 +755,38 @@ def _coloring_oracle(rounds: int = 18, mex_cap: int = 64) -> str:
     """
 
 
+def _dag_longest_path_oracle(rounds: int = 14) -> str:
+    """Longest-path levels by unrolled max-relaxation over the a<b-
+    oriented heavy pairs: lvl_t(v) = max(lvl_{t-1}(v), max over edges
+    (u,v) of lvl_{t-1}(u) + 1), lvl_0 = 0. Monotone and exact at the
+    fixpoint; depth 8 at sf0.01, the Ray query alarms past 10, so 14
+    unrolls is convergence with margin (the kcore pattern)."""
+    steps = [
+        f"""ids AS (SELECT DISTINCT id FROM (
+                SELECT a AS id FROM e UNION ALL SELECT b FROM e)),
+            l0 AS (SELECT id, 0 AS lvl FROM ids)"""
+    ]
+    for t in range(1, rounds + 1):
+        steps.append(
+            f"""l{t} AS MATERIALIZED (
+                SELECT i.id,
+                       greatest(p.lvl, COALESCE(c.m, p.lvl)) AS lvl
+                FROM ids i
+                JOIN l{t - 1} p ON p.id = i.id
+                LEFT JOIN (
+                    SELECT e.b AS id, max(q.lvl) + 1 AS m
+                    FROM e JOIN l{t - 1} q ON q.id = e.a
+                    GROUP BY 1
+                ) c ON c.id = i.id
+            )"""
+        )
+    return f"""
+        WITH e AS MATERIALIZED ({_HEAVY_PAIRS}),
+        {', '.join(steps)}
+        SELECT id, CAST(lvl AS BIGINT) AS level FROM l{rounds} ORDER BY id
+    """
+
+
 def _kcore_oracle(k: int = 3, rounds: int = 24) -> str:
     """Fixed-k core by unrolled peeling. The peel reaches its fixpoint
     in ~6 rounds at sf0.01 (the Ray query asserts n_iter_ <= 20, so 24
@@ -827,6 +863,11 @@ def oracle_sql() -> dict[str, str]:
     against networkx/exact recomputation in tests/ instead; the
     fixed-superstep PageRank variant and the MinHash/SimHash families
     (SQL-expressible hash functions by construction) ARE SQL-checked."""
+    from mercury_graph_ray.pipelines.training_data import (
+        CANARY_A as _CANARY_A,
+        CANARY_B as _CANARY_B,
+    )
+
     return {
         "label_propagation_supplier_customer": _lpa_oracle(10),
         "pagerank_fixed20_supplier_customer": _pagerank_oracle(20),
@@ -945,6 +986,114 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.n_hapax, 0) AS BIGINT)  AS n_hapax,
                    COALESCE(round(a.n_types / a.n_tokens, 6), 0.0) AS ttr
             FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # decontamination: canary injection mirrored verbatim (the
+        # docs_pii_scrub pattern); benchmark = distinct 20-char shingles
+        # of the two canaries over the pinned dedup normalization
+        "docs_decontaminate": f"""
+            WITH canary AS (
+                SELECT * FROM (VALUES ('{_CANARY_A}'), ('{_CANARY_B}')) AS c(t)
+            ),
+            bpos AS (
+                SELECT t, unnest(generate_series(1, length(t) - 19)) AS i
+                FROM canary
+            ),
+            bsh AS (SELECT DISTINCT substr(t, CAST(i AS BIGINT), 20) AS s
+                    FROM bpos),
+            docs AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 17 = 0
+                               THEN ' ' || '{_CANARY_A}' ELSE '' END
+                       || CASE WHEN doc_id % 23 = 0
+                               THEN ' ' || '{_CANARY_B}' ELSE '' END AS text
+                FROM documents
+            ),
+            norm AS (
+                SELECT doc_id,
+                       lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+                FROM docs
+            ),
+            pos AS (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, length(t) - 19)) AS i
+                FROM norm
+            ),
+            sh AS (SELECT DISTINCT doc_id,
+                          substr(t, CAST(i AS BIGINT), 20) AS s
+                   FROM pos)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM sh WHERE s IN (SELECT s FROM bsh)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        # repetition signals: duplicate 10-shingle position mass + top
+        # token share, both over the pinned normalizations
+        "docs_repetition_signals": """
+            WITH norm AS (
+                SELECT doc_id,
+                       lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+                FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, length(t) - 9)) AS i
+                FROM norm
+            ),
+            sh AS (SELECT doc_id, substr(t, CAST(i AS BIGINT), 10) AS s
+                   FROM pos),
+            cnts AS (SELECT doc_id, s, count(*) AS c FROM sh GROUP BY 1, 2),
+            rep AS (
+                SELECT doc_id, sum(c) AS n_pos,
+                       sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS n_dup
+                FROM cnts GROUP BY 1
+            ),
+            toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+            tot AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY 1),
+            top AS (
+                SELECT doc_id, tok, c FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY doc_id ORDER BY c DESC, tok) AS rk
+                    FROM tf) WHERE rk = 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(r.n_pos, 0) AS BIGINT) AS n_pos,
+                   CAST(COALESCE(r.n_dup, 0) AS BIGINT) AS n_dup_pos,
+                   COALESCE(round(r.n_dup * 1.0 / r.n_pos, 6), 0.0) AS dup_frac,
+                   COALESCE(top.tok, '') AS top_token,
+                   COALESCE(round(top.c * 1.0 / tot.n, 6), 0.0) AS top_frac
+            FROM documents d
+            LEFT JOIN rep r USING (doc_id)
+            LEFT JOIN top USING (doc_id)
+            LEFT JOIN tot USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        # unigram LM: p(tok) = corpus count / total, nll = -mean ln p
+        "docs_unigram_nll": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+                   FROM toks GROUP BY 1, 2),
+            vocab AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cnt
+                      FROM tf GROUP BY 1),
+            tot AS (SELECT sum(cnt) AS n FROM vocab),
+            per AS (
+                SELECT doc_id, sum(c) AS n_tokens,
+                       sum(c * -ln(v.cnt * 1.0 / (SELECT n FROM tot))) AS s
+                FROM tf JOIN vocab v USING (tok) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   COALESCE(round(p.s / p.n_tokens, 6), 0.0) AS nll
+            FROM documents d LEFT JOIN per p USING (doc_id)
             ORDER BY d.doc_id
         """,
         # exact quantiles: pinned rank rule cum >= ceil(q*N)
@@ -1165,6 +1314,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scored ORDER BY j DESC, a, b LIMIT 20
         """,
         "kcore3_heavy_parts": _kcore_oracle(k=3, rounds=24),
+        "dag_longest_path_heavy_parts": _dag_longest_path_oracle(14),
         "mis_heavy_parts": _mis_oracle(rounds=10),
         "coloring_heavy_parts": _coloring_oracle(rounds=18),
         "ktruss4_heavy_parts": _ktruss_oracle(k=4, rounds=6),

@@ -516,6 +516,24 @@ def kcore3_heavy_parts(sf_dir: str):
     return kc.core_.to_pandas().sort_values("id").reset_index(drop=True)
 
 
+def dag_longest_path_heavy_parts(sf_dir: str):
+    """Longest-path levels of the heavy part graph read as a DAG (its
+    canonical a<b orientation is acyclic by construction): level(v) =
+    edges on the longest directed path ending at v (algos/dag, sparse
+    delta BSP scatter). Depth 8 at sf0.01; the SQL oracle unrolls 14
+    max-relaxation steps — drift alarm before the margin erodes."""
+    from mercury_graph_ray.algos.dag import DagLongestPath
+
+    dlp = DagLongestPath(n_parts=8).fit(_heavy_part_graph(sf_dir))
+    if dlp.depth_ > 10:  # not assert: survives python -O
+        raise RuntimeError(
+            f"DAG depth {dlp.depth_} approaches the oracle's 14-step unroll"
+        )
+    df = dlp.levels_.to_pandas()
+    df["id"] = df["id"].astype(np.int64)
+    return df.sort_values("id").reset_index(drop=True)
+
+
 def part_sequence_edges(sf_dir: str, min_quantity: float | None = None):
     """DIRECTED part-transition graph: within each order (sorted by
     (l_linenumber, l_partkey) — the synthetic data repeats linenumbers,

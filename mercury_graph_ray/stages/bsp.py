@@ -118,13 +118,18 @@ class _PartitionActor:
 
     def scatter_meta(self):
         m = self.program.scatter_meta(self.csr, self.cache)
-        return tuple(m) if m is not None else tuple([None] * self.csr.n_parts)
+        m = tuple(m) if m is not None else tuple([None] * self.csr.n_parts)
+        # num_returns=1 does NOT split a 1-tuple: at P=1 ship the single
+        # meta bare, or every program would receive it wrapped
+        return m[0] if self.csr.n_parts == 1 else m
 
     def set_recv_meta(self, *metas):
         self.recv = self.program.prepare_recv(self.csr, self.cache, list(metas))
 
     def scatter(self):
-        return tuple(self.program.scatter(self.csr, self.state, self.cache))
+        out = tuple(self.program.scatter(self.csr, self.state, self.cache))
+        # see scatter_meta: at P=1 the payload ships bare (no ray split)
+        return out[0] if self.csr.n_parts == 1 else out
 
     def gather_apply(self, *payloads):
         return self.program.gather_apply(
