@@ -82,11 +82,10 @@ def _initial_support(pairs, degs, n: int, p: int, nb: int):
     kernel it replaces enumerates all O(Σ deg²) wedges (a 20k-degree hub
     alone is 4·10^8)."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
 
     from mercury_graph_ray.algos.triangles import oriented_triangles
     from mercury_graph_ray.stages.join import hash_join
-    from mercury_graph_ray.stages.util import ensure_schema
+    from mercury_graph_ray.stages.util import bucket_sum_by, ensure_schema, rename_cols
 
     tri = oriented_triangles(pairs, degs, n, p)
 
@@ -103,13 +102,15 @@ def _initial_support(pairs, degs, n: int, p: int, nb: int):
              "s": pa.array(np.ones(len(ea), np.int64))}
         )
 
-    sup = (
-        ensure_schema(
+    # int-bucket pre-combine shuffle, NOT Ray's two-int64-key sort
+    # aggregate (~240 µs/row — it alone timed out the 4M-edge smoke)
+    sup = rename_cols(
+        bucket_sum_by(
             tri.map_batches(_edges3, batch_format="pyarrow"),
+            ["a", "b"], "s",
             {"a": pa.int64(), "b": pa.int64(), "s": pa.int64()},
-        )
-        .groupby(["a", "b"])
-        .aggregate(Sum("s", alias_name="cn"))
+        ),
+        {"s": "cn"},
     )
 
     def _fill(t: pa.Table) -> pa.Table:
@@ -133,10 +134,9 @@ def _decrement_support(sup_keep, removed, p: int, nb: int):
     ``sup_keep ∪ removed`` is the old graph."""
     import ray
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
 
     from mercury_graph_ray.stages.join import hash_join
-    from mercury_graph_ray.stages.util import ensure_schema
+    from mercury_graph_ray.stages.util import bucket_sum_by, ensure_schema
 
     def _sym(t: pa.Table) -> pa.Table:
         a = t["a"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
@@ -192,13 +192,9 @@ def _decrement_support(sup_keep, removed, p: int, nb: int):
              "d": pa.array(np.ones(len(a), np.int64))}
         )
 
-    wm = (
-        ensure_schema(
-            mixed.map_batches(_canon_count, batch_format="pyarrow"),
-            {"a": pa.int64(), "b": pa.int64(), "d": pa.int64()},
-        )
-        .groupby(["a", "b"])
-        .aggregate(Sum("d", alias_name="d"))
+    wm = ensure_schema(
+        mixed.map_batches(_canon_count, batch_format="pyarrow"),
+        {"a": pa.int64(), "b": pa.int64(), "d": pa.int64()},
     )
 
     # W_RR: triangles that lost BOTH other edges are double-counted in
@@ -212,13 +208,12 @@ def _decrement_support(sup_keep, removed, p: int, nb: int):
             {"a": t["a"], "b": t["b"], "d": pc.negate(cn)}
         )
 
-    dec = (
-        ensure_schema(
-            wm.union(wrr.map_batches(_neg, batch_format="pyarrow")),
-            {"a": pa.int64(), "b": pa.int64(), "d": pa.int64()},
-        )
-        .groupby(["a", "b"])
-        .aggregate(Sum("d", alias_name="d"))
+    # one int-bucket pre-combine shuffle sums W_mixed − W_RR per edge
+    # (Ray's two-key sort aggregate is ~240 µs/row; see bucket_sum_by)
+    dec = bucket_sum_by(
+        wm.union(wrr.map_batches(_neg, batch_format="pyarrow")),
+        ["a", "b"], "d",
+        {"a": pa.int64(), "b": pa.int64(), "d": pa.int64()},
     )
 
     j = hash_join(sup_keep, ensure_schema(dec, {"a": pa.int64(), "b": pa.int64(),

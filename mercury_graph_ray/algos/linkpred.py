@@ -42,10 +42,24 @@ from mercury_graph_ray.algos.common import DEFAULT_N_PARTS, simple_pairs
 _METRICS = ("common_neighbors", "jaccard", "adamic_adar")
 
 
+_MERGE_BUCKETS = 64
+
+
+def _pair_bucket(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Deterministic merge bucket for (a, b) pairs — splitmix-style mix
+    so consecutive ids spread across all buckets (plain ``a % nb`` would
+    put every pair of one hub center in one bucket)."""
+    x = a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + b.astype(np.uint64)
+    x ^= x >> np.uint64(31)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    return ((x >> np.uint64(33)) % np.uint64(_MERGE_BUCKETS)).astype(np.int64)
+
+
 def _neighbor_pairs_in_group(group: dict) -> dict:
     """All ordered neighbor pairs (a < b) per center, with the center's
     Adamic-Adar weight 1/ln(deg_center) carried along. Vectorized
-    grouped-arange (same shape as triangles._wedges_in_group)."""
+    grouped-arange (same shape as triangles._wedges_in_group). Emits a
+    ``bkt`` merge-bucket column for the downstream pair-sum."""
     u = np.asarray(group["u"], np.int64)
     v = np.asarray(group["v"], np.int64)
     w = np.asarray(group["w"], np.float64)
@@ -58,12 +72,34 @@ def _neighbor_pairs_in_group(group: dict) -> dict:
     total = int(left_counts.sum())
     if total == 0:
         e = np.array([], np.int64)
-        return {"a": e, "b": e, "w": np.array([], np.float64)}
+        return {"a": e, "b": e, "w": np.array([], np.float64), "bkt": e}
     left = np.repeat(v, left_counts)
     run_starts = np.cumsum(left_counts) - left_counts
     offset_within = np.arange(total) - np.repeat(run_starts, left_counts)
     right = v[np.repeat(np.arange(len(v)) + 1, left_counts) + offset_within]
-    return {"a": left, "b": right, "w": np.repeat(w, left_counts)}
+    return {"a": left, "b": right, "w": np.repeat(w, left_counts),
+            "bkt": _pair_bucket(left, right)}
+
+
+def _merge_pairs_in_group(group: dict) -> dict:
+    """Sum cn / adamic_adar per unique (a, b) inside one merge bucket:
+    lexsort + reduceat. Replaces Ray's two-int64-key sort aggregate,
+    which measured 183 s on 15.7M wedge rows where this path takes ~3 s
+    (same kernel family as the sessionization / minhash buckets)."""
+    a = np.asarray(group["a"], np.int64)
+    b = np.asarray(group["b"], np.int64)
+    w = np.asarray(group["w"], np.float64)
+    if len(a) == 0:
+        e = np.array([], np.int64)
+        return {"a": e, "b": e, "cn": e, "adamic_adar": np.array([], np.float64)}
+    order = np.lexsort((b, a))
+    a, b, w = a[order], b[order], w[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+    )
+    cn = np.diff(np.concatenate([starts, [len(a)]])).astype(np.int64)
+    return {"a": a[starts], "b": b[starts], "cn": cn,
+            "adamic_adar": np.add.reduceat(w, starts)}
 
 
 def _wedge_counts(canon, degs, p: int, nb: int, cap: int | None, *,
@@ -135,22 +171,14 @@ def _wedge_counts(canon, degs, p: int, nb: int, cap: int | None, *,
 
 
 def _sum_wedges(routed, p: int, nb: int):
-    from ray.data.aggregate import Sum
-
     from mercury_graph_ray.stages.util import ensure_schema
 
     wedges = ensure_schema(
         routed.groupby("part").map_groups(_neighbor_pairs_in_group, batch_format="numpy"),
-        {"a": pa.int64(), "b": pa.int64(), "w": pa.float64()},
+        {"a": pa.int64(), "b": pa.int64(), "w": pa.float64(), "bkt": pa.int64()},
     )
-
-    def _one(t: pa.Table) -> pa.Table:
-        return t.append_column("cn", pa.array(np.ones(t.num_rows, np.int64)))
-
-    cands = (
-        wedges.map_batches(_one, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Sum("cn", alias_name="cn"), Sum("w", alias_name="adamic_adar"))
+    cands = wedges.groupby("bkt").map_groups(
+        _merge_pairs_in_group, batch_format="numpy"
     )
     return ensure_schema(
         cands,
