@@ -73,20 +73,26 @@ def prepare(g, *, symmetrize: bool = False, n_parts: int | None = None,
 
 def endpoint_degrees(pairs):
     """(id, deg) over a canonical (a, b) pair Dataset — each endpoint
-    counted once per pair (the simple-graph degree)."""
+    counted once per pair (the simple-graph degree). Int-bucket
+    pre-combine shuffle instead of Ray's sort aggregate (stages/util
+    docstring: ~240 µs/row on this release)."""
     import numpy as np
     import pyarrow as pa
-    from ray.data.aggregate import Count
+
+    from mercury_graph_ray.stages.util import bucket_sum_by
 
     def _endpoints(t: pa.Table) -> pa.Table:
         a = t["a"].combine_chunks().to_numpy(zero_copy_only=False)
         b = t["b"].combine_chunks().to_numpy(zero_copy_only=False)
-        return pa.table({"id": pa.array(np.concatenate([a, b]))})
+        ids = np.concatenate([a, b])
+        return pa.table(
+            {"id": pa.array(ids), "deg": pa.array(np.ones(len(ids), np.int64))}
+        )
 
-    return (
-        pairs.map_batches(_endpoints, batch_format="pyarrow")
-        .groupby("id")
-        .aggregate(Count(alias_name="deg"))
+    return bucket_sum_by(
+        pairs.map_batches(_endpoints, batch_format="pyarrow"),
+        ["id"], "deg",
+        {"id": pa.int64(), "deg": pa.int64()},
     )
 
 
@@ -101,8 +107,10 @@ def simple_pairs(g, *, cache: bool = True):
     facade so TriangleCount / LinkPrediction / DegreeAssortativity /
     KCore over the same Graph share one dedup shuffle.
     """
+    import numpy as np
     import pyarrow as pa
-    from ray.data.aggregate import Count
+
+    from mercury_graph_ray.stages.util import bucket_sum_by
 
     if cache and "simple_pairs" in g._cache:
         return g._cache["simple_pairs"]
@@ -112,10 +120,20 @@ def simple_pairs(g, *, cache: bool = True):
     from mercury_graph_ray.algos.triangles import _canonical_pairs
 
     enc = vd.encode_edges(g.edges.select_columns(["src", "dst"]))
+
+    def _ones(t: pa.Table) -> pa.Table:
+        return t.append_column("_n", pa.array(np.ones(len(t), np.int64)))
+
+    # dedup via int-bucket pre-combine (NOT Ray's two-int64-key sort
+    # aggregate — ~240 µs/row, it dominated the triangle headline query)
     canon = (
-        enc.map_batches(_canonical_pairs, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="_n"))
+        bucket_sum_by(
+            enc.map_batches(_canonical_pairs, batch_format="pyarrow")
+            .map_batches(_ones, batch_format="pyarrow"),
+            ["a", "b"], "_n",
+            {"a": pa.int64(), "b": pa.int64(), "_n": pa.int64()},
+            agg="max",
+        )
         .select_columns(["a", "b"])
         .materialize()
     )

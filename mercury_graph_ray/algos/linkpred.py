@@ -42,24 +42,14 @@ from mercury_graph_ray.algos.common import DEFAULT_N_PARTS, simple_pairs
 _METRICS = ("common_neighbors", "jaccard", "adamic_adar")
 
 
-_MERGE_BUCKETS = 64
-
-
-def _pair_bucket(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Deterministic merge bucket for (a, b) pairs — splitmix-style mix
-    so consecutive ids spread across all buckets (plain ``a % nb`` would
-    put every pair of one hub center in one bucket)."""
-    x = a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + b.astype(np.uint64)
-    x ^= x >> np.uint64(31)
-    x *= np.uint64(0xBF58476D1CE4E5B9)
-    return ((x >> np.uint64(33)) % np.uint64(_MERGE_BUCKETS)).astype(np.int64)
-
-
 def _neighbor_pairs_in_group(group: dict) -> dict:
     """All ordered neighbor pairs (a < b) per center, with the center's
-    Adamic-Adar weight 1/ln(deg_center) carried along. Vectorized
-    grouped-arange (same shape as triangles._wedges_in_group). Emits a
-    ``bkt`` merge-bucket column for the downstream pair-sum."""
+    Adamic-Adar weight 1/ln(deg_center) carried along, PRE-COMBINED per
+    group: the lexsort + reduceat that used to live in a separate merge
+    stage runs here, so each (part, pair) ships at most one partial row
+    downstream (ADVICE r4: the raw-wedge shuffle was a per-task memory
+    ceiling on exact runs). Vectorized grouped-arange (same shape as
+    triangles._wedges_in_group)."""
     u = np.asarray(group["u"], np.int64)
     v = np.asarray(group["v"], np.int64)
     w = np.asarray(group["w"], np.float64)
@@ -70,36 +60,31 @@ def _neighbor_pairs_in_group(group: dict) -> dict:
     pos = np.arange(len(u)) - np.repeat(starts, sizes)
     left_counts = np.repeat(sizes, sizes) - 1 - pos
     total = int(left_counts.sum())
+    empty = {
+        "a": np.array([], np.int64),
+        "b": np.array([], np.int64),
+        "cn": np.array([], np.int64),
+        "w": np.array([], np.float64),
+    }
     if total == 0:
-        e = np.array([], np.int64)
-        return {"a": e, "b": e, "w": np.array([], np.float64), "bkt": e}
+        return empty
     left = np.repeat(v, left_counts)
     run_starts = np.cumsum(left_counts) - left_counts
     offset_within = np.arange(total) - np.repeat(run_starts, left_counts)
     right = v[np.repeat(np.arange(len(v)) + 1, left_counts) + offset_within]
-    return {"a": left, "b": right, "w": np.repeat(w, left_counts),
-            "bkt": _pair_bucket(left, right)}
-
-
-def _merge_pairs_in_group(group: dict) -> dict:
-    """Sum cn / adamic_adar per unique (a, b) inside one merge bucket:
-    lexsort + reduceat. Replaces Ray's two-int64-key sort aggregate,
-    which measured 183 s on 15.7M wedge rows where this path takes ~3 s
-    (same kernel family as the sessionization / minhash buckets)."""
-    a = np.asarray(group["a"], np.int64)
-    b = np.asarray(group["b"], np.int64)
-    w = np.asarray(group["w"], np.float64)
-    if len(a) == 0:
-        e = np.array([], np.int64)
-        return {"a": e, "b": e, "cn": e, "adamic_adar": np.array([], np.float64)}
-    order = np.lexsort((b, a))
-    a, b, w = a[order], b[order], w[order]
-    starts = np.flatnonzero(
-        np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+    ww = np.repeat(w, left_counts)
+    # local combine: one (a, b, cn, Σw) partial per distinct pair
+    po = np.lexsort((right, left))
+    left, right, ww = left[po], right[po], ww[po]
+    ps = np.flatnonzero(
+        np.concatenate([[True], (left[1:] != left[:-1]) | (right[1:] != right[:-1])])
     )
-    cn = np.diff(np.concatenate([starts, [len(a)]])).astype(np.int64)
-    return {"a": a[starts], "b": b[starts], "cn": cn,
-            "adamic_adar": np.add.reduceat(w, starts)}
+    return {
+        "a": left[ps],
+        "b": right[ps],
+        "cn": np.diff(np.concatenate([ps, [total]])).astype(np.int64),
+        "w": np.add.reduceat(ww, ps),
+    }
 
 
 def _wedge_counts(canon, degs, p: int, nb: int, cap: int | None, *,
@@ -114,8 +99,6 @@ def _wedge_counts(canon, degs, p: int, nb: int, cap: int | None, *,
     ``need_weights=False`` skips the degree join and the hub cap —
     adamic_adar degenerates to cn — saving two shuffles per call for
     consumers that only need the counts (the truss peel loop)."""
-    from ray.data.aggregate import Sum
-
     from mercury_graph_ray.stages.join import hash_join
     from mercury_graph_ray.stages.util import ensure_schema, rename_cols
 
@@ -171,18 +154,29 @@ def _wedge_counts(canon, degs, p: int, nb: int, cap: int | None, *,
 
 
 def _sum_wedges(routed, p: int, nb: int):
-    from mercury_graph_ray.stages.util import ensure_schema
+    """Merge the per-part (a, b, cn, w) partials emitted by
+    ``_neighbor_pairs_in_group`` into global pair sums via the shared
+    ``stages.util.bucket_sum_by`` kernel (ADVICE r4: one bucket-merge
+    implementation, bucket count scaled with nb, per-batch pre-combine
+    bounds every merge task to one partial per (batch, pair))."""
+    from mercury_graph_ray.stages.util import bucket_sum_by, ensure_schema, rename_cols
 
     wedges = ensure_schema(
         routed.groupby("part").map_groups(_neighbor_pairs_in_group, batch_format="numpy"),
-        {"a": pa.int64(), "b": pa.int64(), "w": pa.float64(), "bkt": pa.int64()},
+        {"a": pa.int64(), "b": pa.int64(), "cn": pa.int64(), "w": pa.float64()},
     )
-    cands = wedges.groupby("bkt").map_groups(
-        _merge_pairs_in_group, batch_format="numpy"
+    cands = bucket_sum_by(
+        wedges,
+        ["a", "b"], ["cn", "w"],
+        {"a": pa.int64(), "b": pa.int64(), "cn": pa.int64(), "w": pa.float64()},
+        n_buckets=max(64, 4 * nb),
     )
+    # re-anchor after the rename: an all-empty result (hub cap dropped
+    # every wedge) otherwise reports schema() None into the next join
     return ensure_schema(
-        cands,
-        {"a": pa.int64(), "b": pa.int64(), "cn": pa.int64(), "adamic_adar": pa.float64()},
+        rename_cols(cands, {"w": "adamic_adar"}),
+        {"a": pa.int64(), "b": pa.int64(), "cn": pa.int64(),
+         "adamic_adar": pa.float64()},
     )
 
 
@@ -198,8 +192,6 @@ class LinkPrediction(BaseClass):
         self.max_degree = max_degree
 
     def fit(self, g) -> "LinkPrediction":
-        from ray.data.aggregate import Sum
-
         from mercury_graph_ray.stages.join import hash_join
         from mercury_graph_ray.stages.util import ensure_schema, rename_cols
 
@@ -292,8 +284,6 @@ class EdgeSupport(BaseClass):
         self.max_degree = max_degree
 
     def fit(self, g) -> "EdgeSupport":
-        from ray.data.aggregate import Sum
-
         from mercury_graph_ray.stages.join import hash_join
         from mercury_graph_ray.stages.util import ensure_schema, rename_cols
 

@@ -187,6 +187,50 @@ def test_triangles_join_orientation_path(ray_session, monkeypatch):
     assert tc.total_ == sum(want.values()) // 3
 
 
+def test_triangles_join_closure_path(ray_session, monkeypatch):
+    """The > BROADCAST_MAX_EDGES closure path (bucketed wedge⋈edge hash
+    join instead of the in-task broadcast searchsorted probe) must match
+    the broadcast closure / nx oracle — forced-path parity, the knn.py
+    discipline."""
+    import mercury_graph_ray.algos.triangles as tri_mod
+
+    df = pd.DataFrame(
+        {
+            "src": ["a", "b", "c", "c", "a", "d", "b", "e", "e"],
+            "dst": ["b", "c", "a", "d", "b", "a", "d", "a", "b"],
+        }
+    )
+    monkeypatch.setattr(tri_mod, "BROADCAST_MAX_EDGES", 0)
+    tc = TriangleCount(n_parts=4).fit(Graph(df))
+    got = tc.triangles_.to_pandas().set_index("id")["triangles"].to_dict()
+    want = oracle_triangles(df.assign(weight=1.0))
+    assert got == dict(want)
+    assert tc.total_ == sum(want.values()) // 3
+
+
+def test_oriented_triangles_forced_paths_agree(ray_session):
+    """Both closure strategies, forced explicitly, return the identical
+    triangle set on the same encoded graph."""
+    from mercury_graph_ray.algos.common import simple_pairs
+    from mercury_graph_ray.algos.triangles import oriented_triangles
+
+    df = pd.DataFrame(
+        {
+            "src": ["a", "b", "c", "c", "a", "d", "b", "e", "e", "f"],
+            "dst": ["b", "c", "a", "d", "b", "a", "d", "a", "b", "a"],
+        }
+    )
+    g = Graph(df)
+    vd, canon, degs = simple_pairs(g)
+
+    def _tri_set(closure):
+        t = oriented_triangles(canon, degs, vd.n, 4, closure=closure).to_pandas()
+        return set(zip(t["a"], t["b"], t["center"]))
+
+    bc, jn = _tri_set("broadcast"), _tri_set("join")
+    assert bc == jn and len(bc) > 0
+
+
 def test_isolated_nodes_full_node_set(ray_session):
     """ADVICE: explicit nodes tables with edge-free vertices — PageRank N
     includes them (reference runs nx over the full node set) and CC emits
