@@ -34,7 +34,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from mercury_graph_ray.stages.dedup import shingle_hashes
+from mercury_graph_ray.stages.dedup import shingle_hash_positions, shingle_hashes
 
 DEFAULT_K = 20
 
@@ -78,21 +78,30 @@ def contamination_scan(
             self.bench = ray.get(bench_ref)  # once per actor, zero-copy
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            ids, hits = [], []
             b = self.bench
-            for doc_id, text in zip(batch[id_col].to_numpy(),
-                                    batch[text_col].to_numpy()):
-                sh = shingle_hashes(text, k)  # sorted unique
-                if len(sh) and len(b):
-                    pos = np.searchsorted(b, sh)
-                    pos[pos == len(b)] = 0
-                    n = int((b[pos] == sh).sum())
-                else:
-                    n = 0
-                if n:
-                    ids.append(doc_id)
-                    hits.append(n)
-            return pd.DataFrame({id_col: np.asarray(ids, np.int64),
-                                 "n_hits": np.asarray(hits, np.int64)})
+            # one flattened pass over the whole batch (VERDICT r4 #5:
+            # no per-document loop): hash every shingle position, dedup
+            # per (doc, hash) with one lexsort, probe the broadcast
+            # benchmark array with one searchsorted
+            h, owner, _ = shingle_hash_positions(batch[text_col], k)
+            cnt = np.zeros(len(batch), np.int64)
+            if len(h) and len(b):
+                o = np.lexsort((h, owner))
+                ho, oo = h[o], owner[o]
+                first = np.concatenate(
+                    [[True], (ho[1:] != ho[:-1]) | (oo[1:] != oo[:-1])]
+                )
+                ho, oo = ho[first], oo[first]
+                pos = np.searchsorted(b, ho)
+                pos[pos == len(b)] = 0
+                hit = b[pos] == ho
+                cnt = np.bincount(oo[hit], minlength=len(batch)).astype(np.int64)
+            m = cnt > 0
+            return pd.DataFrame(
+                {
+                    id_col: batch[id_col].to_numpy()[m].astype(np.int64),
+                    "n_hits": cnt[m],
+                }
+            )
 
     return ds.map_batches(_Scan, concurrency=(1, 8), batch_format="pandas")

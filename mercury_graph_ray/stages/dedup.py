@@ -71,6 +71,56 @@ def shingle_hashes(text: str, k: int = 5, cache: dict | None = None) -> np.ndarr
     return np.unique(h)
 
 
+def shingle_hash_positions(texts, k: int = 5, *, pad: bool = True):
+    """Flattened per-POSITION shingle hashes for a whole batch of texts
+    in one vectorized pass — no per-document Python loop (VERDICT r4 #5).
+
+    Normalization and hash family are bit-identical to
+    :func:`shingle_hashes` (whitespace-collapsed lowercase, UTF-32
+    polynomial + splitmix64 avalanche); ``pad=True`` reproduces its
+    right-pad-to-k rule for short texts (one all-space shingle), while
+    ``pad=False`` gives short texts zero positions (the repetition-signal
+    contract). Returns ``(h, owner, n_pos)``: the position hashes (NOT
+    deduplicated), each position's document index within the batch, and
+    the per-document position counts.
+    """
+    import pandas as pd
+
+    s = pd.Series(list(texts), dtype=object).fillna("")
+    norm = s.str.split().str.join(" ").str.lower()
+    if pad:
+        norm = norm.str.pad(k, side="right")
+    lens = norm.str.len().to_numpy(np.int64)
+    n_docs = len(lens)
+    n_pos = np.maximum(lens - k + 1, 0)
+    total = int(n_pos.sum())
+    if total == 0:
+        return (
+            np.array([], np.uint64),
+            np.array([], np.int64),
+            n_pos,
+        )
+    cp = np.frombuffer(
+        "".join(norm.tolist()).encode("utf-32-le"), np.uint32
+    ).astype(np.uint64)
+    doc_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    owner = np.repeat(np.arange(n_docs), n_pos)
+    run_starts = np.cumsum(n_pos) - n_pos
+    pos = np.repeat(doc_starts, n_pos) + (
+        np.arange(total) - np.repeat(run_starts, n_pos)
+    )
+    h = np.zeros(total, np.uint64)
+    P = np.uint64(0x9E3779B97F4A7C15)
+    for j in range(k):  # k fused passes — loop over k, never over docs
+        h = h * P + cp[pos + j]
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h, owner, n_pos
+
+
 def _shingle_hashes_blake2b(text: str, k: int = 5, cache: dict | None = None) -> np.ndarray:
     """Pre-vectorization reference implementation (kept for the parity
     test: identical SET SEMANTICS, different hash values)."""

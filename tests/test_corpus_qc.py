@@ -121,3 +121,39 @@ def test_unigram_vocab_cap_oov_floor(ray_session):
     got = score_nll(ds, vocab).to_pandas()
     assert (got.nll > 0).all()  # OOV tokens hit the floor, never NaN/inf
     assert np.isfinite(got.nll).all()
+
+
+def test_shingle_hash_positions_parity_with_shingle_hashes():
+    """The flattened batch helper (one pass, no per-doc loop) must agree
+    with the pinned per-document shingle_hashes on (a) the per-doc unique
+    hash SET (pad=True, the decontam contract) and (b) per-doc positional
+    multiset counts (pad=False, the repetition contract)."""
+    from mercury_graph_ray.stages.dedup import shingle_hash_positions, shingle_hashes
+
+    rng = np.random.default_rng(11)
+    texts = [
+        "",
+        "ab",
+        "   spaced    OUT   text   ",
+        "the quick brown fox " * 3,
+        "".join(rng.choice(list("abcdef  "), size=200)),
+        "unicode ü§ß chars with ümläuts",
+    ]
+    for k in (5, 10, 20):
+        h, owner, n_pos = shingle_hash_positions(texts, k, pad=True)
+        assert int(n_pos.sum()) == len(h) and len(owner) == len(h)
+        for i, t in enumerate(texts):
+            got = np.unique(h[owner == i])
+            want = shingle_hashes(t, k)
+            assert np.array_equal(got, want), (i, k)
+        # pad=False: short docs contribute zero positions; long docs'
+        # positional hash multisets equal the direct per-doc computation
+        h2, owner2, n_pos2 = shingle_hash_positions(texts, k, pad=False)
+        for i, t in enumerate(texts):
+            norm = " ".join(t.split()).lower()
+            if len(norm) < k:
+                assert n_pos2[i] == 0
+            else:
+                assert n_pos2[i] == len(norm) - k + 1
+                vals, cnts = np.unique(h2[owner2 == i], return_counts=True)
+                assert np.array_equal(vals, shingle_hashes(t, k))
