@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocity_part_sequence": tpch.reciprocity_part_sequence,
         "scc_heavy_part_sequence": tpch.scc_heavy_part_sequence,
         "random_walks_suppliers": tpch.random_walks_suppliers,
+        "lpa_seeded_supplier_customer": tpch.lpa_seeded_supplier_customer,
         "label_propagation_supplier_customer": tpch.label_propagation_supplier_customer,
         # --- block C: stable queries kept inside the window -----------
         "pagerank_supplier_customer": tpch.pagerank_supplier_customer,
@@ -100,7 +101,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "undirected_closure": tpch.undirected_closure,
         "minhash_dedup_pairs": td.minhash_dedup_pairs,
         "minhash_dedup_keep": td.minhash_dedup_keep,
-        "docs_top50_tokens": td.docs_top50_tokens,
         # --- tail (past the 50-query gate window): all hash-green in --
         # --- CORRECTNESS_r04.json and untouched in round 5 ------------
         "q1_pricing_summary": tpch.q1_pricing_summary,
@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_exact_dedup": tpch.docs_exact_dedup,
         "docs_lang_distribution": tpch.docs_lang_distribution,
         "docs_quality": td.docs_quality,
+        "docs_top50_tokens": td.docs_top50_tokens,
         "bfs_hops_supplier_s1": tpch.bfs_hops_supplier_s1,
         "closeness_landmarks_suppliers": tpch.closeness_landmarks_suppliers,
         "harmonic_ecc_landmarks_suppliers": tpch.harmonic_ecc_landmarks_suppliers,
@@ -208,7 +209,7 @@ def _brandes_oracle(depth: int = 6) -> str:
     """
 
 
-def _lpa_oracle(max_iter: int = 10) -> str:
+def _lpa_oracle(max_iter: int = 10, seeds: tuple = ()) -> str:
     """Synchronous label propagation, unrolled ``max_iter`` iterations.
 
     The frozen LPA semantics (algos/label_propagation.py docstring) are a
@@ -217,12 +218,22 @@ def _lpa_oracle(max_iter: int = 10) -> str:
     run is stable under further iterations and a fixed unroll of
     ``max_iter`` steps is EXACTLY the stop-early result. Internal vertex
     ids are assigned in sorted original-key order (stages/ids.py), so
-    string ORDER BY reproduces the internal tie-break."""
+    string ORDER BY reproduces the internal tie-break.
+
+    ``seeds``: the semi-supervised clamp — each listed vertex keeps its
+    own id as a frozen label at every step (algos/label_propagation.py
+    ``_SeededLpaProgram``)."""
+    seed_list = ", ".join(f"'{s}'" for s in sorted(set(seeds)))
     steps = []
     for k in range(1, max_iter + 1):
+        pick = (
+            f"CASE WHEN id IN ({seed_list}) THEN id ELSE label END AS label"
+            if seeds
+            else "label"
+        )
         steps.append(
             f"""a{k} AS MATERIALIZED (
-                SELECT id, label FROM (
+                SELECT id, {pick} FROM (
                     SELECT c.id, c.label,
                            row_number() OVER (
                                PARTITION BY c.id
@@ -902,6 +913,7 @@ def oracle_sql() -> dict[str, str]:
             FROM seeds ORDER BY s
         """,
         "label_propagation_supplier_customer": _lpa_oracle(10),
+        "lpa_seeded_supplier_customer": _lpa_oracle(10, seeds=("s1", "s2", "s3")),
         "pagerank_fixed20_supplier_customer": _pagerank_oracle(20),
         "pagerank_supplier_customer": _pagerank_converged_oracle(8),
         # Katz, 10 unrolled iterations from x0 = 0 on BINARY adjacency:

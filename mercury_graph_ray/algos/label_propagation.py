@@ -84,10 +84,44 @@ class _LpaProgram(VertexProgram):
         return {"n_changed": changed}
 
 
+class _SeededLpaProgram(_LpaProgram):
+    """Semi-supervised LPA: the seed vertices' labels are FROZEN to their
+    own vertex id — they emit influence every superstep but never adopt a
+    neighbor's label (the production "grow communities around chosen
+    exemplars" ask, VERDICT r4 #9). Shares ``_LpaProgram``'s scatter and
+    argmax gather verbatim; apply clamps the seed rows back after the
+    majority step, and n_changed is recomputed post-clamp so convergence
+    means "no NON-seed vertex moved"."""
+
+    def __init__(self, seed_vids: np.ndarray):
+        self.seed_vids = np.asarray(seed_vids, np.uint64)
+        self._li = None  # per-actor lazy: this partition's seed rows
+
+    def _local_seeds(self, csr) -> np.ndarray:
+        if self._li is None:
+            mine = (self.seed_vids % np.uint64(csr.n_parts)) == csr.part
+            self._li = (self.seed_vids[mine] // np.uint64(csr.n_parts)).astype(
+                np.int64
+            )
+        return self._li
+
+    def gather_apply(self, csr, state, payloads, cache, recv) -> dict:
+        old = state["label"].copy()
+        super().gather_apply(csr, state, payloads, cache, recv)
+        li = self._local_seeds(csr)
+        state["label"][li] = old[li]  # seeds keep their frozen label
+        return {"n_changed": int((state["label"] != old).sum())}
+
+
 class LabelPropagation(BaseClass):
     """``LabelPropagation().fit(g)`` sets ``labels_``: Dataset of
     (id, label) in original key space (label = key of some member vertex),
-    plus ``n_iter_`` and ``converged_``."""
+    plus ``n_iter_`` and ``converged_``.
+
+    ``fit(g, seed_ids=[...])`` runs the semi-supervised variant: the
+    listed vertices keep their own id as a frozen label (they propagate
+    but never change), every other vertex follows the frozen synchronous
+    argmax rule unchanged."""
 
     def __init__(
         self,
@@ -107,16 +141,29 @@ class LabelPropagation(BaseClass):
         self.resume = resume
         self.actor_num_cpus = actor_num_cpus
 
-    def fit(self, g) -> "LabelPropagation":
+    def fit(self, g, seed_ids: list | None = None) -> "LabelPropagation":
         from mercury_graph_ray.state.checkpoint import CheckpointManager
 
         vd, gas = prepare(g, symmetrize=True, n_parts=self.n_parts, workdir=self.workdir)
-        engine = BspEngine(gas, _LpaProgram(), actor_num_cpus=self.actor_num_cpus)
+        if seed_ids is not None:
+            from mercury_graph_ray.algos.common import keys_to_vids
+
+            seed_vids = np.sort(keys_to_vids(vd, seed_ids)).astype(np.uint64)
+            program = _SeededLpaProgram(seed_vids)
+            fingerprint = {
+                "n": gas.n,
+                "p": gas.p,
+                "seeds": [int(v) for v in seed_vids],
+            }
+        else:
+            program = _LpaProgram()
+            fingerprint = {"n": gas.n, "p": gas.p}
+        engine = BspEngine(gas, program, actor_num_cpus=self.actor_num_cpus)
 
         ckpt = None
         if self.checkpoint_dir:
             ckpt = CheckpointManager(
-                self.checkpoint_dir, "lpa", fingerprint={"n": gas.n, "p": gas.p}
+                self.checkpoint_dir, "lpa", fingerprint=fingerprint
             )
         start_iter = 0
         self.converged_ = False

@@ -853,6 +853,20 @@ def label_propagation_supplier_customer(sf_dir: str):
     return lp.labels_.to_pandas().sort_values("id").reset_index(drop=True)
 
 
+def lpa_seeded_supplier_customer(sf_dir: str):
+    """Semi-supervised LPA: s1/s2/s3 keep their own label frozen and the
+    rest of the graph follows the frozen synchronous argmax rule —
+    SQL-checked by the same 10-step unroll with a per-step seed clamp."""
+    from mercury_graph_ray.algos.label_propagation import LabelPropagation
+    from mercury_graph_ray.graph import Graph
+
+    lp = LabelPropagation(n_parts=8, max_iter=10).fit(
+        Graph(supplier_customer_edges(sf_dir).materialize()),
+        seed_ids=["s1", "s2", "s3"],
+    )
+    return lp.labels_.to_pandas().sort_values("id").reset_index(drop=True)
+
+
 def events_sessionization(sf_dir: str, gap_minutes: int = 30, num_buckets: int = 64):
     """Session counts per user: a new session starts when the gap from the
     previous event exceeds ``gap_minutes``. Ray side: ONE groupby over

@@ -189,7 +189,82 @@ def khop_subgraph(g, start_id, depth: int = 2, limit: int = 100) -> dict:
     }
 
 
-_MOEBIUS_HTML = """<!DOCTYPE html>
+# Shared force-layout engine (Fruchterman-Reingold style): O(n^2)
+# repulsion per frame is fine at the export's node budget (<= limit).
+# ONE implementation consumed by both the standalone HTML page and the
+# anywidget ESM module, so the two frontends cannot drift.
+_MOEBIUS_JS_CORE = """\
+function moebiusRender(data, cv, tip, W, H, raf) {
+  var ctx = cv.getContext("2d");
+  cv.width = W; cv.height = H;
+  var N = data.nodes.length, idx = {};
+  data.nodes.forEach(function (n, i) { idx[n.id] = i; });
+  // deterministic golden-angle initial placement
+  var px = new Float64Array(N), py = new Float64Array(N);
+  for (var i = 0; i < N; i++) {
+    var r = 0.42 * Math.min(W, H) * Math.sqrt((i + 0.5) / N), a = 2.39996322972865332 * i;
+    px[i] = W / 2 + r * Math.cos(a); py[i] = H / 2 + r * Math.sin(a);
+  }
+  var links = data.links.map(function (l) {
+    return [idx[l.source], idx[l.target], +l.value || 1];
+  }).filter(function (l) { return l[0] !== undefined && l[1] !== undefined; });
+  var maxCount = 1;
+  data.nodes.forEach(function (n) { maxCount = Math.max(maxCount, n.count || 1); });
+  function radius(n) { return 3 + 9 * Math.sqrt((n.count || 1) / maxCount); }
+  var K = Math.sqrt(W * H / Math.max(N, 1)), steps = 0, MAX_STEPS = 300;
+  function step(temp) {
+    var dx = new Float64Array(N), dy = new Float64Array(N), i, j;
+    for (i = 0; i < N; i++) for (j = i + 1; j < N; j++) {
+      var ux = px[i] - px[j], uy = py[i] - py[j];
+      var d2 = ux * ux + uy * uy + 0.01, f = K * K / d2;
+      dx[i] += ux * f; dy[i] += uy * f; dx[j] -= ux * f; dy[j] -= uy * f;
+    }
+    links.forEach(function (l) {
+      var ux = px[l[0]] - px[l[1]], uy = py[l[0]] - py[l[1]];
+      var d = Math.sqrt(ux * ux + uy * uy) + 0.01, f = d / K;
+      dx[l[0]] -= ux * f; dy[l[0]] -= uy * f; dx[l[1]] += ux * f; dy[l[1]] += uy * f;
+    });
+    for (i = 0; i < N; i++) {
+      var m = Math.sqrt(dx[i] * dx[i] + dy[i] * dy[i]) + 1e-9, s = Math.min(m, temp) / m;
+      px[i] = Math.max(10, Math.min(W - 10, px[i] + dx[i] * s));
+      py[i] = Math.max(10, Math.min(H - 10, py[i] + dy[i] * s));
+    }
+  }
+  function draw() {
+    ctx.clearRect(0, 0, W, H);
+    ctx.strokeStyle = "rgba(120,120,120,0.45)";
+    links.forEach(function (l) {
+      ctx.lineWidth = Math.min(4, 0.5 + Math.log(1 + l[2]));
+      ctx.beginPath(); ctx.moveTo(px[l[0]], py[l[0]]); ctx.lineTo(px[l[1]], py[l[1]]); ctx.stroke();
+    });
+    data.nodes.forEach(function (n, i) {
+      ctx.fillStyle = n._color || "#4682b4";
+      ctx.beginPath(); ctx.arc(px[i], py[i], radius(n), 0, 6.2832); ctx.fill();
+    });
+  }
+  function tick() {
+    if (steps < MAX_STEPS) { step(10 * (1 - steps / MAX_STEPS) + 0.5); steps++; draw(); raf(tick); }
+  }
+  tick();
+  cv.addEventListener("mousemove", function (ev) {
+    var best = -1, bd = 1e18;
+    for (var i = 0; i < N; i++) {
+      var ux = ev.clientX - px[i], uy = ev.clientY - py[i], d = ux * ux + uy * uy;
+      if (d < bd) { bd = d; best = i; }
+    }
+    if (best >= 0 && bd < 400) {
+      var n = data.nodes[best];
+      tip.textContent = n.id + (n.count != null ? " (degree " + n.count + ")" : "");
+      tip.style.left = (ev.clientX + 12) + "px"; tip.style.top = (ev.clientY + 12) + "px";
+      tip.style.visibility = "visible";
+    } else { tip.style.visibility = "hidden"; }
+  });
+  return { px: px, py: py, N: N };
+}
+"""
+
+_MOEBIUS_HTML = (
+    """<!DOCTYPE html>
 <html><head><meta charset="utf-8"><title>moebius graph</title>
 <style>
  body { margin: 0; font: 12px sans-serif; background: #ffffff; }
@@ -201,77 +276,99 @@ _MOEBIUS_HTML = """<!DOCTYPE html>
 <canvas id="cv"></canvas><div id="tip"></div>
 <script id="graph-data" type="application/json">__DATA__</script>
 <script>
-// Self-contained force layout (Fruchterman-Reingold style): O(n^2)
-// repulsion per frame is fine at the export's node budget (<= limit).
+"""
+    + _MOEBIUS_JS_CORE
+    + """\
 var data = JSON.parse(document.getElementById("graph-data").textContent);
-var cv = document.getElementById("cv"), ctx = cv.getContext("2d");
-var W = window.innerWidth, H = window.innerHeight;
-cv.width = W; cv.height = H;
-var N = data.nodes.length, idx = {};
-data.nodes.forEach(function (n, i) { idx[n.id] = i; });
-// deterministic golden-angle initial placement
-var px = new Float64Array(N), py = new Float64Array(N);
-for (var i = 0; i < N; i++) {
-  var r = 0.42 * Math.min(W, H) * Math.sqrt((i + 0.5) / N), a = 2.39996322972865332 * i;
-  px[i] = W / 2 + r * Math.cos(a); py[i] = H / 2 + r * Math.sin(a);
-}
-var links = data.links.map(function (l) {
-  return [idx[l.source], idx[l.target], +l.value || 1];
-}).filter(function (l) { return l[0] !== undefined && l[1] !== undefined; });
-var maxCount = 1;
-data.nodes.forEach(function (n) { maxCount = Math.max(maxCount, n.count || 1); });
-function radius(n) { return 3 + 9 * Math.sqrt((n.count || 1) / maxCount); }
-var K = Math.sqrt(W * H / Math.max(N, 1)), steps = 0, MAX_STEPS = 300;
-function step(temp) {
-  var dx = new Float64Array(N), dy = new Float64Array(N), i, j;
-  for (i = 0; i < N; i++) for (j = i + 1; j < N; j++) {
-    var ux = px[i] - px[j], uy = py[i] - py[j];
-    var d2 = ux * ux + uy * uy + 0.01, f = K * K / d2;
-    dx[i] += ux * f; dy[i] += uy * f; dx[j] -= ux * f; dy[j] -= uy * f;
-  }
-  links.forEach(function (l) {
-    var ux = px[l[0]] - px[l[1]], uy = py[l[0]] - py[l[1]];
-    var d = Math.sqrt(ux * ux + uy * uy) + 0.01, f = d / K;
-    dx[l[0]] -= ux * f; dy[l[0]] -= uy * f; dx[l[1]] += ux * f; dy[l[1]] += uy * f;
-  });
-  for (i = 0; i < N; i++) {
-    var m = Math.sqrt(dx[i] * dx[i] + dy[i] * dy[i]) + 1e-9, s = Math.min(m, temp) / m;
-    px[i] = Math.max(10, Math.min(W - 10, px[i] + dx[i] * s));
-    py[i] = Math.max(10, Math.min(H - 10, py[i] + dy[i] * s));
-  }
-}
-function draw() {
-  ctx.clearRect(0, 0, W, H);
-  ctx.strokeStyle = "rgba(120,120,120,0.45)";
-  links.forEach(function (l) {
-    ctx.lineWidth = Math.min(4, 0.5 + Math.log(1 + l[2]));
-    ctx.beginPath(); ctx.moveTo(px[l[0]], py[l[0]]); ctx.lineTo(px[l[1]], py[l[1]]); ctx.stroke();
-  });
-  data.nodes.forEach(function (n, i) {
-    ctx.fillStyle = n._color || "#4682b4";
-    ctx.beginPath(); ctx.arc(px[i], py[i], radius(n), 0, 6.2832); ctx.fill();
-  });
-}
-function tick() {
-  if (steps < MAX_STEPS) { step(10 * (1 - steps / MAX_STEPS) + 0.5); steps++; draw(); requestAnimationFrame(tick); }
-}
-tick();
-var tip = document.getElementById("tip");
-cv.addEventListener("mousemove", function (ev) {
-  var best = -1, bd = 1e18;
-  for (var i = 0; i < N; i++) {
-    var ux = ev.clientX - px[i], uy = ev.clientY - py[i], d = ux * ux + uy * uy;
-    if (d < bd) { bd = d; best = i; }
-  }
-  if (best >= 0 && bd < 400) {
-    var n = data.nodes[best];
-    tip.textContent = n.id + (n.count != null ? " (degree " + n.count + ")" : "");
-    tip.style.left = (ev.clientX + 12) + "px"; tip.style.top = (ev.clientY + 12) + "px";
-    tip.style.visibility = "visible";
-  } else { tip.style.visibility = "hidden"; }
-});
+var res = moebiusRender(data, document.getElementById("cv"),
+                        document.getElementById("tip"),
+                        window.innerWidth, window.innerHeight,
+                        requestAnimationFrame);
+var N = res.N, px = res.px, py = res.py;
 </script></body></html>
 """
+)
+
+# anywidget ES module (reference mercury/graph/viz/moebius.py:500-546 +
+# frontend/moebius.js: show() renders the nodes/links JSON through an
+# anywidget): render({model, el}) mounts a canvas + tooltip into the
+# notebook cell and re-renders when the synced `data` traitlet changes.
+_MOEBIUS_ESM = (
+    _MOEBIUS_JS_CORE
+    + """\
+function render({ model, el }) {
+  var cv = document.createElement("canvas");
+  var tip = document.createElement("div");
+  tip.style.position = "fixed"; tip.style.pointerEvents = "none";
+  tip.style.background = "#222"; tip.style.color = "#fff";
+  tip.style.padding = "2px 6px"; tip.style.borderRadius = "3px";
+  tip.style.visibility = "hidden";
+  el.appendChild(cv); el.appendChild(tip);
+  function go() {
+    var W = el.clientWidth || model.get("width") || 800;
+    var H = model.get("height") || 600;
+    moebiusRender(model.get("data"), cv, tip, W, H,
+                  function (fn) { return requestAnimationFrame(fn); });
+  }
+  model.on("change:data", go);
+  go();
+}
+export default { render };
+"""
+)
+
+_MOEBIUS_CSS = """\
+.moebius-widget canvas { display: block; }
+"""
+
+
+class Moebius:
+    """Notebook-embedded Moebius viewer — the last reference surface
+    (mercury/graph/viz/moebius.py:500-546 ``show()``; JSON contract and
+    ``_int_id`` scheme identical to :func:`moebius_json`).
+
+    ``show()`` returns an ``anywidget.AnyWidget`` rendering the shared
+    canvas force layout (``_MOEBIUS_JS_CORE`` — the same node-tested
+    engine the standalone page embeds) with the graph payload synced as
+    a ``data`` traitlet. anywidget/traitlets are optional dependencies:
+    when absent, ``show()`` raises ImportError naming the
+    :func:`moebius_html` fallback (this container ships neither Jupyter
+    nor anywidget, so the gate is exercised by tests and the ESM is
+    validated headlessly under node)."""
+
+    def __init__(self, g, limit: int = 1000, width: int = 800, height: int = 600):
+        self._g = g
+        self.limit = limit
+        self.width = width
+        self.height = height
+
+    def json(self) -> dict:
+        return moebius_json(self._g, limit=self.limit)
+
+    def html(self, path: str | None = None) -> str:
+        return moebius_html(self._g, limit=self.limit, path=path)
+
+    def show(self):
+        try:
+            import anywidget
+            import traitlets
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "anywidget/traitlets are required for the notebook widget; "
+                "use Moebius.html(path=...) / moebius_html(g, path=...) for "
+                "the standalone self-contained viewer instead"
+            ) from e
+
+        class _MoebiusWidget(anywidget.AnyWidget):
+            _esm = _MOEBIUS_ESM
+            _css = _MOEBIUS_CSS
+            data = traitlets.Dict({}).tag(sync=True)
+            width = traitlets.Int(800).tag(sync=True)
+            height = traitlets.Int(600).tag(sync=True)
+
+        return _MoebiusWidget(
+            data=self.json(), width=self.width, height=self.height
+        )
 
 
 def moebius_html(g, limit: int = 1000, path: str | None = None) -> str:

@@ -145,6 +145,65 @@ def test_lpa_parallelism_invariance(ray_session):
     )
 
 
+def test_seeded_lpa_brute_force_and_partition_invariance(ray_session):
+    """Semi-supervised LPA: seeds keep their own frozen label; everyone
+    else follows the frozen synchronous argmax rule. Brute-force python
+    fixpoint oracle + identical output at two partition counts."""
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "src": [f"v{i}" for i in rng.integers(0, 24, 120)],
+            "dst": [f"v{i}" for i in rng.integers(0, 24, 120)],
+            "weight": rng.integers(1, 5, 120).astype(float),
+        }
+    )
+    df = df[df.src != df.dst].reset_index(drop=True)
+    seeds = ["v0", "v1", "v2"]
+
+    # brute force on the symmetrized max-weight-collapsed graph (the
+    # Graph.undirected_edges contract)
+    und = {}
+    for r in df.itertuples():
+        und[(r.src, r.dst)] = max(und.get((r.src, r.dst), 0.0), r.weight)
+        und[(r.dst, r.src)] = max(und.get((r.dst, r.src), 0.0), r.weight)
+    nodes = sorted({v for e in und for v in e})
+    lab = {v: v for v in nodes}
+    for _ in range(15):
+        inc = {v: {} for v in nodes}
+        for (u, v), w in und.items():
+            inc[v][lab[u]] = inc[v].get(lab[u], 0.0) + w
+        new = {}
+        for v in nodes:
+            cands = dict(inc[v])
+            cands[lab[v]] = max(cands.get(lab[v], 0.0), 0.0)
+            best = sorted(cands.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[v] = lab[v] if v in seeds else best
+        if new == lab:
+            break
+        lab = new
+
+    from mercury_graph_ray.algos.label_propagation import LabelPropagation
+
+    got = (
+        LabelPropagation(n_parts=3, max_iter=15)
+        .fit(Graph(df), seed_ids=seeds)
+        .labels_.to_pandas()
+        .set_index("id")["label"]
+        .to_dict()
+    )
+    assert got == lab
+    for s in seeds:
+        assert got[s] == s
+    got2 = (
+        LabelPropagation(n_parts=7, max_iter=15)
+        .fit(Graph(df), seed_ids=seeds)
+        .labels_.to_pandas()
+        .set_index("id")["label"]
+        .to_dict()
+    )
+    assert got2 == got
+
+
 def test_triangles_toy(ray_session):
     # a-b, b-c, c-a triangle + pendant
     df = pd.DataFrame(

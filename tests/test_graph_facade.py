@@ -239,6 +239,85 @@ def test_moebius_html_js_headless(ray_session, tmp_path):
     assert r.stdout.startswith("OK")
 
 
+def test_moebius_widget_esm_headless(ray_session, tmp_path):
+    """The anywidget ES module renders headlessly under node with DOM +
+    model stubs: render({model, el}) mounts a canvas, runs the shared
+    force-layout core to completion (finite, in-bounds positions), and
+    re-renders on a data-traitlet change. Skipped when node is absent."""
+    import shutil
+    import subprocess
+
+    import pytest as _pytest
+
+    node = shutil.which("node")
+    if node is None:
+        _pytest.skip("node not available")
+    from mercury_graph_ray.pipelines.viz import _MOEBIUS_ESM, moebius_json
+
+    edges, _ = toy_social()
+    g = Graph(edges, keys={"src": "Person_A", "dst": "Person_B", "weight": "Duration"})
+    payload = json.dumps(moebius_json(g))
+    esm_path = tmp_path / "moebius_widget.mjs"
+    esm_path.write_text(_MOEBIUS_ESM)
+    harness = (
+        "const calls = [];\n"
+        "const ctxStub = new Proxy({}, { get: (t, k) => (k === 'canvas' ? null"
+        " : (...a) => { calls.push(String(k)); }), set: () => true });\n"
+        "function mkEl(tag) { return { tag, style: {}, children: [],\n"
+        "  getContext: () => ctxStub, textContent: '',\n"
+        "  addEventListener: (ev, fn) => { globalThis._mouse = fn; },\n"
+        "  appendChild(c) { this.children.push(c); } }; }\n"
+        "globalThis.document = { createElement: mkEl };\n"
+        "let frames = 0;\n"
+        "globalThis.requestAnimationFrame = (fn) => { if (++frames < 700) fn(); };\n"
+        f"const data = {payload};\n"
+        "const listeners = {};\n"
+        "const model = { attrs: { data, width: 800, height: 600 },\n"
+        "  get(k) { return this.attrs[k]; },\n"
+        "  on(ev, fn) { listeners[ev] = fn; } };\n"
+        "const el = mkEl('div'); el.clientWidth = 800;\n"
+        f"const mod = await import({json.dumps(str(esm_path))});\n"
+        "mod.default.render({ model, el });\n"
+        "if (el.children.length !== 2) throw new Error('no mount');\n"
+        "if (!calls.includes('arc') || !calls.includes('stroke')) throw new Error('no draws');\n"
+        "if (!listeners['change:data']) throw new Error('no data listener');\n"
+        "globalThis._mouse({ clientX: 400, clientY: 300 });\n"
+        "model.attrs.data = data; listeners['change:data']();\n"
+        "console.log('OK ' + frames);\n"
+    )
+    f = tmp_path / "moebius_widget_headless.mjs"
+    f.write_text(harness)
+    r = subprocess.run([node, str(f)], capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert r.stdout.startswith("OK")
+
+
+def test_moebius_widget_gate_and_shared_core(ray_session):
+    """Moebius.show() is anywidget-gated (this container has no
+    anywidget: ImportError must name the standalone fallback) and both
+    frontends embed the ONE shared layout core (no drift)."""
+    import pytest
+
+    from mercury_graph_ray.pipelines import viz
+
+    edges, _ = toy_social()
+    g = Graph(edges, keys={"src": "Person_A", "dst": "Person_B", "weight": "Duration"})
+    w = viz.Moebius(g, limit=50)
+    assert w.json() == viz.moebius_json(g, limit=50)
+    assert viz._MOEBIUS_JS_CORE in viz._MOEBIUS_HTML
+    assert viz._MOEBIUS_JS_CORE in viz._MOEBIUS_ESM
+    assert "export default" in viz._MOEBIUS_ESM
+    try:
+        import anywidget  # noqa: F401
+
+        has_anywidget = True
+    except ImportError:
+        has_anywidget = False
+    if not has_anywidget:
+        with pytest.raises(ImportError, match="moebius_html"):
+            w.show()
+
+
 def test_driver_entry_smoke(ray_session):
     """The driver contract's entry() runs and yields converged PageRank
     rows with a stable schema on sf0.001 (what the driver smoke-checks)."""
