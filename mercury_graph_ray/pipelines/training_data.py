@@ -176,7 +176,10 @@ def minhash_dedup_keep(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     ids = docs.select_columns(["doc_id"])
     pairs = (
-        minhash_lsh_pairs(docs, threshold=0.5, bands=32, concurrency=2)
+        # autoscaling signature pool: 2 actors cover the 500-row gate
+        # tables; corpus-scale runs (tools/corpus_scale_smoke.py) grow to
+        # 8 so the per-doc signature pass isn't serialized on 2 workers
+        minhash_lsh_pairs(docs, threshold=0.5, bands=32, concurrency=(1, 8))
         .select_columns(["a", "b"])
         .materialize()
     )

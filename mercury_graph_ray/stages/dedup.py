@@ -359,13 +359,18 @@ def minhash_lsh_pairs(
     # test sessions — the BspEngine headroom rule, stages/bsp.py)
     import ray
 
+    lo, hi = (
+        (concurrency[0], concurrency[1])
+        if isinstance(concurrency, tuple)
+        else (concurrency, concurrency)
+    )
     if ray.is_initialized():
-        avail = int(ray.cluster_resources().get("CPU", concurrency + 1))
-        pool = max(1, min(concurrency, avail - 1))
-    else:
-        # Ray will auto-init with every machine CPU at execution time —
-        # no headroom conflict to dodge, keep the requested pool
-        pool = concurrency
+        avail = int(ray.cluster_resources().get("CPU", hi + 1))
+        lo = max(1, min(lo, avail - 1))
+        hi = max(1, min(hi, avail - 1))
+    # else: Ray will auto-init with every machine CPU at execution time —
+    # no headroom conflict to dodge, keep the requested pool
+    pool = lo if lo == hi else (lo, hi)
     sigs = reps_docs.map_batches(
         MinHasher,
         fn_constructor_kwargs={

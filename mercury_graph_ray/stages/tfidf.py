@@ -53,9 +53,10 @@ def tfidf_top_terms(ds, id_col: str, text_col: str, k: int = 1,
     """Top-``k`` TF-IDF terms per document:
     (id, token, tf, df, score) with score rounded half-away to 6.
     Documents with no tokens produce no rows (SQL-join semantics)."""
-    from ray.data.aggregate import Sum
+    import pyarrow as pa
 
     from mercury_graph_ray.stages.join import auto_join
+    from mercury_graph_ray.stages.util import bucket_sum_by
 
     n_docs = ds.count()
     tf = ds.map_batches(
@@ -68,10 +69,14 @@ def tfidf_top_terms(ds, id_col: str, text_col: str, k: int = 1,
         return pd.DataFrame({"token": out["token"],
                              "df": out["size"].astype(np.int64)})
 
-    df = (
-        tf.map_batches(_df_partial, batch_format="pandas")
-        .groupby("token")
-        .aggregate(Sum("df", alias_name="df"))
+    # merge the per-batch vocab partials with the bucketed pre-combine
+    # kernel, NOT Ray's string-key sort aggregate (~240 µs/row: at 1M
+    # docs the partials are n_blocks x vocab ≈ 10^7 rows — the sort
+    # aggregate alone was the corpus-smoke cliff; see BASELINE.md r5)
+    df = bucket_sum_by(
+        tf.map_batches(_df_partial, batch_format="pandas"),
+        ["token"], "df",
+        {"token": pa.string(), "df": pa.int64()},
     )
     joined = auto_join(tf, df, on=("token",))
 
