@@ -231,29 +231,104 @@ def _decrement_support(sup_keep, removed, p: int, nb: int):
     ).materialize()
 
 
+_WEDGE_CHUNK = 16_000_000  # wedge rows per driver-side enumeration slice
+
+
+def _support_vectorized(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-edge triangle support of canonical (a < b) pairs, pure numpy.
+
+    Degree-ordered orientation (the `algos/triangles.py` apex rule) +
+    packed-uint64 sorted-key closure probe, chunked over source groups
+    so no slice materializes more than ``_WEDGE_CHUNK`` wedge rows —
+    O(Σ oriented-deg²) work, bounded memory, zero Python per edge."""
+    m = len(a)
+    if m == 0:
+        return np.zeros(0, np.int64)
+    n = int(max(a.max(), b.max())) + 1
+    deg = np.bincount(np.concatenate([a, b]), minlength=n)
+    a_first = (deg[a] < deg[b]) | ((deg[a] == deg[b]) & (a < b))
+    u = np.where(a_first, a, b)
+    v = np.where(a_first, b, a)
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+    sizes = np.diff(np.concatenate([starts, [m]]))
+    keys = (a.astype(np.uint64) << np.uint64(32)) | b.astype(np.uint64)
+    sort_keys = np.sort(keys)
+    sup_sorted = np.zeros(m, np.int64)
+    wedge_per_group = sizes * (sizes - 1) // 2
+    cum = np.cumsum(wedge_per_group)
+    total_w = int(cum[-1])
+    cuts = (
+        np.searchsorted(cum, np.arange(_WEDGE_CHUNK, total_w, _WEDGE_CHUNK)) + 1
+        if total_w > _WEDGE_CHUNK
+        else np.array([], np.int64)
+    )
+    bounds = np.unique(np.concatenate([cuts, [len(sizes)]])).astype(np.int64)
+    g0 = 0
+    for g1 in bounds:
+        g1 = int(g1)
+        if g1 <= g0:
+            continue
+        st, sz = starts[g0:g1], sizes[g0:g1]
+        total_edges = int(sz.sum())
+        if total_edges == 0:
+            g0 = g1
+            continue
+        # flatten this slice's (u, v) runs and enumerate ordered pairs
+        # with the grouped-arange kernel
+        cum0 = np.cumsum(sz) - sz
+        local_pos = np.arange(total_edges) - np.repeat(cum0, sz)
+        pos = np.repeat(st, sz) + local_pos
+        vv = v[pos]
+        left_counts = np.repeat(sz, sz) - 1 - local_pos
+        tw = int(left_counts.sum())
+        if tw:
+            left = np.repeat(vv, left_counts)
+            run_starts = np.cumsum(left_counts) - left_counts
+            off = np.arange(tw) - np.repeat(run_starts, left_counts)
+            right = vv[np.repeat(np.arange(total_edges) + 1, left_counts) + off]
+            center = np.repeat(u[pos], left_counts)
+            wa = np.minimum(left, right)
+            wb = np.maximum(left, right)
+            wk = (wa.astype(np.uint64) << np.uint64(32)) | wb.astype(np.uint64)
+            ix = np.minimum(np.searchsorted(sort_keys, wk), m - 1)
+            hit = sort_keys[ix] == wk
+            if hit.any():
+                # each confirmed triangle supports (wa,wb), (c,wa), (c,wb)
+                c, wa, wb, ix = center[hit], wa[hit], wb[hit], ix[hit]
+                k2 = (np.minimum(c, wa).astype(np.uint64) << np.uint64(32)) | \
+                    np.maximum(c, wa).astype(np.uint64)
+                k3 = (np.minimum(c, wb).astype(np.uint64) << np.uint64(32)) | \
+                    np.maximum(c, wb).astype(np.uint64)
+                allix = np.concatenate(
+                    [ix, np.searchsorted(sort_keys, k2),
+                     np.searchsorted(sort_keys, k3)]
+                )
+                sup_sorted += np.bincount(allix, minlength=m)
+        g0 = g1
+    # map sorted-key-order support back onto the input edge order
+    return sup_sorted[np.searchsorted(sort_keys, keys)]
+
+
 def _peel_small(df, thr: int, max_iter: int):
-    """Driver-side sweep-synchronous peel for small graphs.
+    """Driver-side sweep-synchronous peel.
 
     IDENTICAL removal semantics to the distributed loop (drop ALL
     sub-threshold edges, recompute, repeat), so n_iter and the fixpoint
-    match; adjacency sets + per-edge intersection replace five Dataset
-    stages whose launch latency dominates sub-100k-edge graphs (the same
-    dual-path discipline as Louvain's pandas small-graph path). Returns
-    (surviving (a, b) DataFrame, n_iter)."""
+    match; the vectorized oriented-wedge support kernel replaces five
+    Dataset stages whose per-sweep launch+shuffle latency dominates up
+    to millions of edges (measured round 5: 300k edges × tens of sweeps
+    blew a 580 s budget distributed, while one vectorized recount is
+    tens of ms — the same dual-path discipline as Louvain's pandas
+    small-graph path). Returns (surviving (a, b) DataFrame, n_iter)."""
     import pandas as pd
 
     a = df["a"].to_numpy(np.int64)
     b = df["b"].to_numpy(np.int64)
     it = 1
     while it <= max_iter:
-        adj: dict[int, set] = {}
-        for x, y in zip(a, b):
-            adj.setdefault(int(x), set()).add(int(y))
-            adj.setdefault(int(y), set()).add(int(x))
-        sup = np.fromiter(
-            (len(adj[int(x)] & adj[int(y)]) for x, y in zip(a, b)),
-            np.int64, len(a),
-        )
+        sup = _support_vectorized(a, b)
         keep = sup >= thr
         if keep.all():
             return pd.DataFrame({"a": a, "b": b}), it
@@ -275,7 +350,7 @@ class KTruss(BaseClass):
     edges)."""
 
     def __init__(self, k: int, n_parts: int | None = None, max_iter: int = 100,
-                 recount_frac: float = 0.25, recount_min_edges: int = 100_000):
+                 recount_frac: float = 0.25, recount_min_edges: int = 5_000_000):
         if k < 2:
             raise ValueError("k must be >= 2 (the 2-truss is the whole simple graph)")
         self.k = k
@@ -283,9 +358,13 @@ class KTruss(BaseClass):
         self.max_iter = max_iter
         self.recount_frac = recount_frac
         # below this edge count the graph takes the DRIVER-SIDE peel
-        # (adjacency sets; one process, zero shuffles) — measured 1.7k
-        # edges cost ~27 s PER SWEEP distributed (pure stage-launch
-        # latency) vs milliseconds driver-side. Above it, sweeps are
+        # (vectorized oriented-wedge recounts; one process, zero
+        # shuffles). Round-5 measurements moved the cutoff from 100k to
+        # 5M: the peel is a LONG chain of cheap sweeps, and per-sweep
+        # pipeline launch+shuffle latency dominates far beyond 100k
+        # edges (300k edges × tens of sweeps blew a 580 s budget
+        # distributed; one vectorized recount at that size is ~50 ms —
+        # see BASELINE.md round 5). Above the cutoff sweeps are
         # distributed: incremental decrements normally, full recount
         # when the removal fraction exceeds recount_frac.
         self.recount_min_edges = recount_min_edges
@@ -309,11 +388,17 @@ class KTruss(BaseClass):
             out = vd.decode(pairs, col="a")
             self.edges_ = vd.decode(out, col="b").materialize()
             return self
+        import time as _time
+
+        t0 = _time.time()
         sup = _initial_support(canon, degs, vd.n, p, nb)
         self.sweep_modes_ = ["full"]
+        self.sweep_secs_ = [round(_time.time() - t0, 2)]
+        self.sweep_edges_ = [int(canon.count())]
         it = 1
         converged = False
         while it <= self.max_iter:
+            t0 = _time.time()
             keep, drop = _split_by_support(sup, thr)
             n_drop = drop.count()
             if n_drop == 0:
@@ -345,6 +430,8 @@ class KTruss(BaseClass):
             else:
                 sup = _decrement_support(keep, drop.materialize(), p, nb)
                 self.sweep_modes_.append("incr")
+            self.sweep_secs_.append(round(_time.time() - t0, 2))
+            self.sweep_edges_.append(int(n_keep))
         if not converged:
             raise RuntimeError(f"k-truss peel did not finish in {self.max_iter} sweeps")
         self.n_iter_ = it

@@ -67,6 +67,15 @@ def corpus_parquet(n_docs: int = N_DOCS, root: str = "/tmp") -> str:
         rng = np.random.default_rng(1234 + shard_start)
         lens = rng.integers(DOC_TOKENS // 2, DOC_TOKENS * 2, n)
         toks = vocab[rng.choice(VOCAB, size=int(lens.sum()), p=probs)]
+        # ~30% of each doc is doc-specific rare material (hex of a
+        # doc-salted counter — the long tail real text has). Without it
+        # every unrelated doc pair sits at shingle-Jaccard ~0.4 and the
+        # LSH candidate set goes quadratic (~29M pairs at 1M docs,
+        # measured) — an unrealistic corpus, not an engine property.
+        rare_mask = rng.random(int(lens.sum())) < 0.3
+        n_rare = int(rare_mask.sum())
+        salts = rng.integers(0, 1 << 48, n_rare)
+        toks[rare_mask] = np.array([f"{s:012x}" for s in salts], dtype=object)
         offs = np.concatenate([[0], np.cumsum(lens)])
         texts = [" ".join(toks[offs[i]: offs[i + 1]]) for i in range(n)]
         # seeded near-duplicate clusters: doc i ≡ doc i-1 plus one token
