@@ -14,7 +14,11 @@ import pandas as pd
 import pytest
 
 from mercury_graph_ray.algos.kcore import KCore
-from mercury_graph_ray.algos.linkpred import DegreeAssortativity, LinkPrediction
+from mercury_graph_ray.algos.linkpred import (
+    DegreeAssortativity,
+    EdgeSupport,
+    LinkPrediction,
+)
 from mercury_graph_ray.graph import Graph
 
 
@@ -324,3 +328,45 @@ def test_core_numbers_parallelism_invariance_and_shapes(ray_session):
     path = pd.DataFrame({"src": range(9), "dst": range(1, 10)})
     cn = CoreNumbers(n_parts=2).fit(Graph(path))
     assert set(r["core"] for r in cn.core_numbers_.take_all()) == {1}
+
+
+def test_linkpred_small_vs_distributed_paths(ray_session):
+    """Round 5 dual-path: the driver-side vectorized scoring and the
+    distributed wedge pipeline return identical candidate tables
+    (forced via small_max_edges), with and without the hub cap."""
+    G, df = _gnm(80, 320, seed=21)
+    for cap in (None, 6):
+        small = LinkPrediction(n_parts=4, max_degree=cap).fit(Graph(df))
+        dist = LinkPrediction(n_parts=4, max_degree=cap, small_max_edges=0).fit(
+            Graph(df)
+        )
+        cols = ["a", "b", "cn", "adamic_adar", "deg_a", "deg_b", "jaccard"]
+        s = small.scores_.to_pandas()
+        d = dist.scores_.to_pandas()
+        if len(s) == 0 and len(d) == 0:
+            continue
+        s = s[cols].sort_values(["a", "b"]).reset_index(drop=True)
+        d = d[cols].sort_values(["a", "b"]).reset_index(drop=True)
+        assert len(s) == len(d)
+        for c in cols:
+            if c in ("adamic_adar", "jaccard"):
+                assert np.allclose(s[c].to_numpy(np.float64),
+                                   d[c].to_numpy(np.float64), atol=1e-12), c
+            else:
+                assert (s[c].astype(str).values == d[c].astype(str).values).all(), c
+
+
+def test_edge_support_small_vs_distributed_paths(ray_session):
+    """Round 5 dual-path: EdgeSupport's vectorized driver path equals
+    the distributed wedge-count join bit-for-bit on support and to
+    1e-12 on embeddedness."""
+    G, df = _gnm(80, 320, seed=22)
+    small = EdgeSupport(n_parts=4).fit(Graph(df))
+    dist = EdgeSupport(n_parts=4, small_max_edges=0).fit(Graph(df))
+    cols = ["a", "b", "support", "embeddedness"]
+    s = small.support_.to_pandas()[cols].sort_values(["a", "b"]).reset_index(drop=True)
+    d = dist.support_.to_pandas()[cols].sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(s) == len(d) > 0
+    assert (s["support"].values == d["support"].values).all()
+    assert np.allclose(s["embeddedness"], d["embeddedness"], atol=1e-12)
+    assert (s["a"].astype(str).values == d["a"].astype(str).values).all()
