@@ -224,8 +224,10 @@ def _linkpred_small(a: np.ndarray, b: np.ndarray, cap: int | None):
     run_starts = np.cumsum(left_counts) - left_counts
     off = np.arange(tw) - np.repeat(run_starts, left_counts)
     right = v[np.repeat(np.arange(len(v)) + 1, left_counts) + off]
-    # center deg >= 2 whenever a pair is emitted, so ln(deg) > 0
-    w = np.repeat(1.0 / np.log(deg[u].astype(np.float64)), left_counts)
+    # center deg >= 2 whenever a pair is emitted (deg-1 centers have
+    # left_counts 0, so their inf weight is repeated zero times)
+    with np.errstate(divide="ignore"):
+        w = np.repeat(1.0 / np.log(deg[u].astype(np.float64)), left_counts)
     key = (left.astype(np.uint64) << np.uint64(32)) | right.astype(np.uint64)
     o2 = np.argsort(key, kind="stable")
     key, w = key[o2], w[o2]
