@@ -71,6 +71,17 @@ def main():
         }
         print(json.dumps({"ktruss4": results["ktruss4"]}), flush=True)
 
+    if "triangles" in which:
+        from mercury_graph_ray.algos.triangles import TriangleCount
+
+        g = Graph(rd.read_parquet(path))
+        t0 = time.time()
+        tc = TriangleCount(n_parts=P).fit(g)
+        results["triangles"] = {
+            "sec": round(time.time() - t0, 1), "total": int(tc.total_),
+        }
+        print(json.dumps({"triangles": results["triangles"]}), flush=True)
+
     if "linkpred" in which:
         from mercury_graph_ray.algos.linkpred import LinkPrediction
 
